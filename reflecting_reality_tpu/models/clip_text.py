@@ -1,0 +1,160 @@
+"""Minimal CLIP text encoder (the SD-1.5 text conditioning model).
+
+The reference loads `CLIPTextModel` from HF transformers
+(reference: examples/brushnet/train_brushnet_mirror.py:937-960) and uses only
+`last_hidden_state`.  This is a self-contained linen reimplementation whose
+param tree matches the torch checkpoint layout (`text_model.encoder.layers.N.
+self_attn.q_proj...`) so openai/clip-vit-large-patch14 weights load through
+core.io.torch_to_flax_params directly.
+
+Math: token + position embeddings; 12 pre-LN transformer layers with causal
+masking and quick_gelu MLPs; final LayerNorm.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from reflecting_reality_tpu.core.config import ConfigMixin
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * nn.sigmoid(1.702 * x)
+
+
+class _CLIPAttention(nn.Module):
+    hidden_size: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, causal_mask: jnp.ndarray) -> jnp.ndarray:
+        head_dim = self.hidden_size // self.num_heads
+        dense = lambda name: nn.Dense(self.hidden_size, dtype=self.dtype, name=name)
+        b, t, _ = x.shape
+        q = dense("q_proj")(x).reshape(b, t, self.num_heads, head_dim)
+        k = dense("k_proj")(x).reshape(b, t, self.num_heads, head_dim)
+        v = dense("v_proj")(x).reshape(b, t, self.num_heads, head_dim)
+        scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits = logits * scale + causal_mask
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, self.hidden_size)
+        return dense("out_proj")(out)
+
+
+class _CLIPLayer(nn.Module):
+    hidden_size: int
+    num_heads: int
+    intermediate_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, causal_mask: jnp.ndarray) -> jnp.ndarray:
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm1")(x)
+        x = x + _CLIPAttention(
+            self.hidden_size, self.num_heads, dtype=self.dtype, name="self_attn"
+        )(h, causal_mask)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm2")(x)
+        h = _CLIPMLP(self.intermediate_size, self.hidden_size, dtype=self.dtype, name="mlp")(h)
+        return x + h
+
+
+class _CLIPMLP(nn.Module):
+    intermediate_size: int
+    hidden_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.intermediate_size, dtype=self.dtype, name="fc1")(x)
+        x = quick_gelu(x)
+        x = nn.Dense(self.hidden_size, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class CLIPTextModel(nn.Module, ConfigMixin):
+    vocab_size: int = 49408
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 77
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        # Explicit nesting matches torch checkpoint paths text_model.embeddings.*
+        x = _TextModel(
+            vocab_size=self.vocab_size,
+            hidden_size=self.hidden_size,
+            num_hidden_layers=self.num_hidden_layers,
+            num_attention_heads=self.num_attention_heads,
+            intermediate_size=self.intermediate_size,
+            max_position_embeddings=self.max_position_embeddings,
+            dtype=self.dtype,
+            name="text_model",
+        )(input_ids)
+        return x
+
+
+class _Embeddings(nn.Module):
+    vocab_size: int
+    hidden_size: int
+    max_position_embeddings: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        tok = nn.Embed(self.vocab_size, self.hidden_size, dtype=self.dtype, name="token_embedding")
+        pos = nn.Embed(
+            self.max_position_embeddings, self.hidden_size, dtype=self.dtype,
+            name="position_embedding",
+        )
+        t = input_ids.shape[1]
+        positions = jnp.arange(t)[None, :]
+        return tok(input_ids) + pos(positions)
+
+
+class _Encoder(nn.Module):
+    hidden_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    intermediate_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, causal_mask: jnp.ndarray) -> jnp.ndarray:
+        for i in range(self.num_hidden_layers):
+            x = _CLIPLayer(
+                self.hidden_size, self.num_attention_heads, self.intermediate_size,
+                dtype=self.dtype, name=f"layers_{i}",
+            )(x, causal_mask)
+        return x
+
+
+class _TextModel(nn.Module):
+    vocab_size: int
+    hidden_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    intermediate_size: int
+    max_position_embeddings: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        t = input_ids.shape[1]
+        x = _Embeddings(
+            self.vocab_size, self.hidden_size, self.max_position_embeddings,
+            dtype=self.dtype, name="embeddings",
+        )(input_ids)
+        causal_mask = jnp.triu(jnp.full((t, t), -jnp.inf, dtype=jnp.float32), k=1)[None, None]
+        x = _Encoder(
+            self.hidden_size, self.num_hidden_layers, self.num_attention_heads,
+            self.intermediate_size, dtype=self.dtype, name="encoder",
+        )(x, causal_mask)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_layer_norm")(x)
+        return x

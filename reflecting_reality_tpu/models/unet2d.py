@@ -1,0 +1,189 @@
+"""UNet2DConditionModel (reference: src/diffusers/models/unets/unet_2d_condition.py:69)
+with the BrushNet additive-injection extensions (:1054-1056, :1217, :1288, :1303).
+
+NHWC throughout.  `down_block_add_samples` / `mid_block_add_sample` /
+`up_block_add_samples` take the BrushNet residual stacks (12 / 1 / 15 tensors
+for the SD-1.5 shape) and add them at the exact positions the reference does:
+after conv_in, after every down resnet(+attn) and downsampler (included in the
+skip states), after the mid block, and after every up resnet(+attn) and
+upsampler.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from reflecting_reality_tpu.core.config import ConfigMixin
+from reflecting_reality_tpu.models.unet_blocks import DOWN_BLOCKS, MID_BLOCKS, UP_BLOCKS
+from reflecting_reality_tpu.ops.embeddings import TimestepEmbedding, get_timestep_embedding
+from reflecting_reality_tpu.ops.norms import GroupNorm
+
+
+class UNet2DConditionModel(nn.Module, ConfigMixin):
+    sample_size: int = 64
+    in_channels: int = 4
+    out_channels: int = 4
+    down_block_types: Tuple[str, ...] = (
+        "CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "DownBlock2D",
+    )
+    mid_block_type: str = "UNetMidBlock2DCrossAttn"
+    up_block_types: Tuple[str, ...] = (
+        "UpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D",
+    )
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    transformer_layers_per_block: int = 1
+    downsample_padding: int = 1
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    cross_attention_dim: int = 768
+    attention_head_dim: int = 8  # SD-1.5 naming quirk: this is the head COUNT
+    use_linear_projection: bool = False
+    flip_sin_to_cos: bool = True
+    freq_shift: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    def _heads(self) -> Tuple[int, ...]:
+        # diffusers' historical naming bug: SD-1.5's `attention_head_dim=8`
+        # is the number of heads (reference: models/brushnet.py:186-192).
+        h = self.attention_head_dim
+        return tuple(h) if isinstance(h, (tuple, list)) else (h,) * len(self.block_out_channels)
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,          # (B, H, W, in_channels)
+        timesteps: jnp.ndarray,       # (B,) or scalar
+        encoder_hidden_states: jnp.ndarray,  # (B, T, cross_attention_dim)
+        down_block_add_samples: Optional[Sequence[jnp.ndarray]] = None,
+        mid_block_add_sample: Optional[jnp.ndarray] = None,
+        up_block_add_samples: Optional[Sequence[jnp.ndarray]] = None,
+    ) -> jnp.ndarray:
+        heads = self._heads()
+        bocs = self.block_out_channels
+        is_brushnet = down_block_add_samples is not None
+
+        if jnp.ndim(timesteps) == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+
+        # 1. time
+        t_emb = get_timestep_embedding(
+            timesteps, bocs[0], flip_sin_to_cos=self.flip_sin_to_cos,
+            downscale_freq_shift=self.freq_shift,
+        ).astype(sample.dtype)
+        emb = TimestepEmbedding(bocs[0] * 4, dtype=self.dtype, name="time_embedding")(t_emb)
+
+        # 2. pre-process
+        sample = nn.Conv(
+            bocs[0], (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_in"
+        )(sample)
+
+        down_adds = list(down_block_add_samples) if is_brushnet else None
+        up_adds = list(up_block_add_samples) if is_brushnet else None
+
+        down_block_res_samples = (sample,)
+        if is_brushnet:
+            sample = sample + down_adds.pop(0)
+
+        # 3. down
+        for i, block_type in enumerate(self.down_block_types):
+            is_final = i == len(bocs) - 1
+            block_cls = DOWN_BLOCKS[block_type]
+            kwargs = dict(
+                in_channels=bocs[i - 1] if i > 0 else bocs[0],
+                out_channels=bocs[i],
+                num_layers=self.layers_per_block,
+                add_downsample=not is_final,
+                resnet_eps=self.norm_eps,
+                resnet_groups=self.norm_num_groups,
+                downsample_padding=self.downsample_padding,
+                dtype=self.dtype,
+            )
+            if block_cls.has_cross_attention:
+                kwargs.update(
+                    transformer_layers_per_block=self.transformer_layers_per_block,
+                    num_attention_heads=heads[i],
+                    cross_attention_dim=self.cross_attention_dim,
+                    use_linear_projection=self.use_linear_projection,
+                )
+            n_take = self.layers_per_block + (0 if is_final else 1)
+            adds = [down_adds.pop(0) for _ in range(n_take)] if is_brushnet else None
+            sample, res_samples = block_cls(name=f"down_blocks_{i}", **kwargs)(
+                sample, emb, encoder_hidden_states=encoder_hidden_states, add_samples=adds
+            )
+            down_block_res_samples += res_samples
+
+        # 4. mid
+        mid_cls = MID_BLOCKS[self.mid_block_type]
+        mid_kwargs = dict(
+            in_channels=bocs[-1], resnet_eps=self.norm_eps,
+            resnet_groups=self.norm_num_groups, dtype=self.dtype,
+        )
+        if mid_cls.has_cross_attention:
+            mid_kwargs.update(
+                transformer_layers_per_block=self.transformer_layers_per_block,
+                num_attention_heads=heads[-1],
+                cross_attention_dim=self.cross_attention_dim,
+                use_linear_projection=self.use_linear_projection,
+            )
+        sample = mid_cls(name="mid_block", **mid_kwargs)(
+            sample, emb, encoder_hidden_states=encoder_hidden_states
+        )
+        if is_brushnet:
+            sample = sample + mid_block_add_sample
+
+        # 5. up
+        down_block_res_samples = list(down_block_res_samples)
+        reversed_bocs = list(reversed(bocs))
+        reversed_heads = list(reversed(heads))
+        output_channel = reversed_bocs[0]
+        for i, block_type in enumerate(self.up_block_types):
+            is_final = i == len(bocs) - 1
+            prev_output_channel = output_channel
+            output_channel = reversed_bocs[i]
+            input_channel = reversed_bocs[min(i + 1, len(bocs) - 1)]
+            num_layers = self.layers_per_block + 1
+
+            res_samples = tuple(down_block_res_samples[-num_layers:])
+            down_block_res_samples = down_block_res_samples[:-num_layers]
+            upsample_size = (
+                down_block_res_samples[-1].shape[1:3] if down_block_res_samples else None
+            )
+
+            block_cls = UP_BLOCKS[block_type]
+            kwargs = dict(
+                in_channels=input_channel,
+                prev_output_channel=prev_output_channel,
+                out_channels=output_channel,
+                num_layers=num_layers,
+                add_upsample=not is_final,
+                resnet_eps=self.norm_eps,
+                resnet_groups=self.norm_num_groups,
+                dtype=self.dtype,
+            )
+            if block_cls.has_cross_attention:
+                kwargs.update(
+                    transformer_layers_per_block=self.transformer_layers_per_block,
+                    num_attention_heads=reversed_heads[i],
+                    cross_attention_dim=self.cross_attention_dim,
+                    use_linear_projection=self.use_linear_projection,
+                )
+            n_take = num_layers + (0 if is_final else 1)
+            adds = [up_adds.pop(0) for _ in range(n_take)] if is_brushnet else None
+            sample, _ = block_cls(name=f"up_blocks_{i}", **kwargs)(
+                sample, res_samples, emb,
+                encoder_hidden_states=encoder_hidden_states,
+                add_samples=adds, upsample_size=upsample_size,
+            )
+
+        # 6. post-process
+        sample = GroupNorm(
+            num_groups=self.norm_num_groups, epsilon=self.norm_eps, name="conv_norm_out"
+        )(sample, apply_silu=True)
+        sample = nn.Conv(
+            self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_out"
+        )(sample)
+        return sample

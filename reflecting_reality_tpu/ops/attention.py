@@ -1,0 +1,114 @@
+"""Attention for the SD-1.5 UNet and VAE.
+
+Replaces the reference's processor zoo (reference:
+src/diffusers/models/attention_processor.py:40,732,1204 — AttnProcessor /
+AttnProcessor2_0 / xformers) with a single module and a backend switch:
+
+- "xla":    jnp einsum attention; XLA fuses QK^T -> softmax -> V on the MXU.
+            Softmax accumulates in fp32 (matches SDPA numerics).
+- "flash":  Pallas blockwise flash attention (ops/pallas/flash_attention.py)
+            for long self-attention sequences (4096 tokens at 512², 16384 at
+            1024²).
+
+Param naming mirrors torch: to_q/to_k/to_v (no bias), to_out.0 (bias), and an
+optional group_norm (VAE mid-block attention).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from reflecting_reality_tpu.ops.norms import GroupNorm
+
+_ATTENTION_BACKEND = "xla"
+
+
+def set_attention_backend(name: str) -> None:
+    global _ATTENTION_BACKEND
+    assert name in ("xla", "flash")
+    _ATTENTION_BACKEND = name
+
+
+def get_attention_backend() -> str:
+    return _ATTENTION_BACKEND
+
+
+def dot_product_attention(
+    q: jnp.ndarray,  # (B, Tq, H, D)
+    k: jnp.ndarray,  # (B, Tk, H, D)
+    v: jnp.ndarray,  # (B, Tk, H, D)
+    backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention over (batch, tokens, heads, head_dim)."""
+    backend = backend or _ATTENTION_BACKEND
+    if backend == "flash" and q.shape[1] >= 1024 and q.shape[1] == k.shape[1]:
+        from reflecting_reality_tpu.ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v)
+
+    scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * scale, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+class Attention(nn.Module):
+    """Self/cross attention (reference Attention module semantics)."""
+
+    query_dim: int
+    heads: int = 8
+    dim_head: int = 64
+    cross_attention_dim: Optional[int] = None  # None -> self attention
+    out_bias: bool = True
+    residual_connection: bool = False
+    norm_num_groups: Optional[int] = None  # VAE attention uses group_norm
+    rescale_output_factor: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,  # (B, T, C) or (B, H, W, C) when spatial
+        encoder_hidden_states: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        inner_dim = self.heads * self.dim_head
+        residual = hidden_states
+
+        spatial = hidden_states.ndim == 4
+        if spatial:
+            b, h, w, c = hidden_states.shape
+            if self.norm_num_groups is not None:
+                hidden_states = GroupNorm(
+                    num_groups=self.norm_num_groups, epsilon=1e-6, name="group_norm"
+                )(hidden_states)
+            hidden_states = hidden_states.reshape(b, h * w, c)
+
+        context = encoder_hidden_states if encoder_hidden_states is not None else hidden_states
+
+        dense = partial(nn.Dense, dtype=self.dtype, use_bias=False)
+        q = dense(inner_dim, name="to_q")(hidden_states)
+        k = dense(inner_dim, name="to_k")(context)
+        v = dense(inner_dim, name="to_v")(context)
+
+        bq, tq, _ = q.shape
+        tk = k.shape[1]
+        q = q.reshape(bq, tq, self.heads, self.dim_head)
+        k = k.reshape(bq, tk, self.heads, self.dim_head)
+        v = v.reshape(bq, tk, self.heads, self.dim_head)
+
+        out = dot_product_attention(q, k, v)
+        out = out.reshape(bq, tq, inner_dim)
+        out = nn.Dense(self.query_dim, dtype=self.dtype, use_bias=self.out_bias, name="to_out_0")(out)
+
+        if spatial:
+            out = out.reshape(b, h, w, c)
+        if self.residual_connection:
+            out = out + residual
+        if self.rescale_output_factor != 1.0:
+            out = out / self.rescale_output_factor
+        return out
