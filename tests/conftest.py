@@ -3,17 +3,25 @@
 Mirrors the reference's capability-gating approach (testing_utils.py decorators)
 — multi-chip behavior is validated on host-platform virtual devices instead of
 requiring a TPU pod.
+
+The container preloads jax with a TPU backend (sitecustomize registers an
+"axon" PJRT plugin and sets JAX_PLATFORMS=axon before any test code runs), so
+setting env vars here is too late for jax's config snapshot.  Instead we flip
+the platform through jax.config before any backend is initialized — unit tests
+validate math and sharding on an 8-device virtual host mesh; TPU runs are the
+bench/driver's job.
 """
 
 import os
 import sys
 
-# Must be set before jax initializes its backends.  Force CPU: unit tests
-# validate math and sharding on an 8-device virtual host mesh; TPU runs are
-# the bench/driver's job.
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402  (may already be imported by sitecustomize)
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
