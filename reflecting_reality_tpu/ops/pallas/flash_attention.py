@@ -1,0 +1,306 @@
+"""Blockwise flash attention for TPU (Pallas/Mosaic).
+
+Replaces the reference's fused-SDPA surface (reference:
+src/diffusers/models/attention_processor.py:1204 — AttnProcessor2_0 /
+F.scaled_dot_product_attention, and the optional xformers path at
+examples/brushnet/train_brushnet_mirror.py:1139-1151) with a TPU-native
+kernel.  The SD-1.5 self-attention sequences are spatial: 4096 tokens at
+512², 16384 at 1024² — at 4096 tokens the materialized (B·H, T, T) logits
+tensor is the UNet's peak-memory hot spot, which blockwise attention
+removes entirely.
+
+Layout: q/k/v are (B, T, H, D) as produced by ops.attention; internally the
+kernel runs over (B·H, T, Dp) with D zero-padded to a multiple of 128 lanes
+(SD-1.5 head dims are 40/80/160).  The softmax scale uses the true D.
+Numerics: logits and the softmax accumulators are fp32 regardless of input
+dtype (matches torch SDPA's fp32 softmax).
+
+Training is supported through a custom VJP with the standard flash backward
+(recompute p from the saved logsumexp; dQ and dK/dV each in one kernel).
+
+Constraints: T must have a divisor that is a multiple of 8 (Mosaic sublane
+tiling); block sizes adapt to T.  The dispatcher in ops.attention only routes
+T >= 2048 sequences with T % 8 == 0 here; everything else takes the XLA
+einsum path, which is already optimal at those sizes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Tuned on v5e for the SD-1.5 self-attention shapes (B=2, H=8, T=4096, D=40):
+# 1024x1024 blocks hit 1.61 ms vs 2.99 ms for the fused-einsum XLA path.
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
+_NEG_INF = float("-inf")
+
+
+def _pick_block(t: int, limit: int) -> int:
+    """Largest divisor of t that is <= limit and a multiple of 8 (Mosaic
+    sublane constraint).  Non-power-of-2 spatial sizes (576x512 image ->
+    4608 latent tokens) land on e.g. 512 here."""
+    for b in range(min(limit, t), 7, -8):
+        if t % b == 0 and b % 8 == 0:
+            return b
+    raise ValueError(f"no valid block size for sequence length {t}")
+
+
+def _pad_head_dim(x: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
+    d = x.shape[-1]
+    dp = max(128, ((d + 127) // 128) * 128)
+    if dp != d:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, dp - d)))
+    return x, d
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, scale, nk):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, bk)
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_curr)
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m_prev - m_new)
+    l_new = l_prev * corr + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        l = l_ref[:, :1]
+        o_ref[0] = (acc_ref[:] / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+        # lse is lane-broadcast to 128 columns (Mosaic block-shape rules make a
+        # (1, bq) 2D block illegal; trailing-128 is the canonical layout).
+        lse_ref[0] = jnp.broadcast_to(
+            m_ref[:, :1] + jnp.log(jnp.where(l == 0.0, 1.0, l)), lse_ref.shape[1:]
+        )
+
+
+def _flash_fwd(q3, k3, v3, scale, block_q, block_k):
+    """q3/k3/v3: (BH, T, Dp) with Dp % 128 == 0.  Returns (out, lse)."""
+    bh, tq, dp = q3.shape
+    tk = k3.shape[1]
+    bq = _pick_block(tq, block_q)
+    bk = _pick_block(tk, block_k)
+    nq, nk = tq // bq, tk // bk
+
+    grid = (bh, nq, nk)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, nk=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tq, dp), q3.dtype),
+            jax.ShapeDtypeStruct((bh, tq, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, dp), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * tq * tk * dp,
+            bytes_accessed=(q3.size + k3.size + v3.size) * q3.dtype.itemsize * 2,
+            transcendentals=bh * tq * tk,
+        ),
+    )(q3, k3, v3)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   dq_acc, *, scale, nk):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse_ref[0][:, :1])                      # (bq, bk)
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta_ref[0][:, :1])                     # (bq, bk)
+    dq_acc[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale, nq):
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse_ref[0][:, :1])                      # (bq, bk)
+    dv_acc[:] += jax.lax.dot_general(
+        p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta_ref[0][:, :1])
+    dk_acc[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    @pl.when(i == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd(q3, k3, v3, out, lse, do, scale, block_q, block_k):
+    bh, tq, dp = q3.shape
+    tk = k3.shape[1]
+    bq = _pick_block(tq, block_q)
+    bk = _pick_block(tk, block_k)
+    nq, nk = tq // bq, tk // bk
+
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[:, :, None], (bh, tq, 128))
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, nk=nk),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, tq, dp), q3.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, dp), jnp.float32)],
+    )(q3, k3, v3, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, nq=nq),
+        grid=(bh, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bq, dp), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bq, 128), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bq, 128), lambda b, j, i: (b, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, dp), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bk, dp), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tk, dp), k3.dtype),
+            jax.ShapeDtypeStruct((bh, tk, dp), v3.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, dp), jnp.float32),
+            pltpu.VMEM((bk, dp), jnp.float32),
+        ],
+    )(q3, k3, v3, do, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash(q3, k3, v3, scale, blocks):
+    out, _ = _flash_fwd(q3, k3, v3, scale, *blocks)
+    return out
+
+
+def _flash_vjp_fwd(q3, k3, v3, scale, blocks):
+    out, lse = _flash_fwd(q3, k3, v3, scale, *blocks)
+    return out, (q3, k3, v3, out, lse)
+
+
+def _flash_vjp_bwd(scale, blocks, res, do):
+    q3, k3, v3, out, lse = res
+    dq, dk, dv = _flash_bwd(q3, k3, v3, out, lse, do, scale, *blocks)
+    return dq, dk, dv
+
+
+_flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,  # (B, Tq, H, D)
+    k: jnp.ndarray,  # (B, Tk, H, D)
+    v: jnp.ndarray,  # (B, Tk, H, D)
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """Blockwise attention over (batch, tokens, heads, head_dim)."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    scale = float(1.0 / (d ** 0.5))
+
+    def fold(x):
+        x = jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], d)
+        x, _ = _pad_head_dim(x)
+        return x
+
+    q3, k3, v3 = fold(q), fold(k), fold(v)
+    out = _flash(q3, k3, v3, scale, (block_q, block_k))
+    out = out[:, :, :d].reshape(b, h, tq, d)
+    return jnp.swapaxes(out, 1, 2)
