@@ -1,0 +1,355 @@
+"""StableDiffusionBrushNetPipeline, TPU-native.
+
+Behavioral rebuild of the reference inference API
+(reference: src/diffusers/pipelines/brushnet/pipeline_brushnet.py:128,848)
+with the mechanisms replaced per SURVEY.md §7: the Python denoise loop
+becomes a `lax.scan` inside ONE jitted program (brushnet fwd → unet fwd with
+28 add-samples → CFG combine → scheduler step), preceded by jitted
+conditioning-latent assembly and followed by the jitted VAE decode.
+
+Reference contracts kept exactly:
+- prepare_image: bicubic resize → [-1,1] → CFG duplicate (:741-774)
+- mask trick: 3ch mask → (channel-sum < 0) float, so 1 = region to KEEP,
+  0 = mirror hole (:1139)
+- conditioning latents = concat(vae(masked_image)·sf, nearest-interp mask,
+  depth, normals) with depth/normals in `concat` (1ch/3ch nearest-interp) or
+  `latents` (vae-encoded, 4ch) modes (:1188-1215)
+- latents init = noise · init_noise_sigma (:777-792)
+- brushnet_keep control-guidance windowing per step (:1236-1242)
+- CFG batch layout [uncond, cond]; guess_mode runs brushnet on the cond
+  half only and zero-pads the uncond half (:1260-1295)
+- decode latents / scaling_factor (:1341-1344)
+
+Everything device-side is NHWC; the host boundary is numpy.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reflecting_reality_tpu.pipelines.image_processor import ImageProcessor, interpolate_nearest
+from reflecting_reality_tpu.schedulers.common import (
+    NoiseSchedule,
+    ddim_timesteps,
+)
+from reflecting_reality_tpu.schedulers.ddim import ddim_step
+from reflecting_reality_tpu.schedulers.unipc import UniPCSampler
+
+
+class StableDiffusionBrushNetPipeline:
+    """Inference pipeline over (module, params) pairs.
+
+    Components mirror the reference ctor (:185-233): vae, text_encoder,
+    tokenizer, unet, brushnet, plus the noise schedule and the MirrorFusion
+    conditioning-mode switches.
+    """
+
+    def __init__(
+        self,
+        vae,                      # (AutoencoderKL module, params)
+        text_encoder,             # (CLIPTextModel module, params)
+        tokenizer,                # callable(list[str]) -> (B, 77) int32
+        unet,                     # (UNet2DConditionModel module, params)
+        brushnet,                 # (BrushNetModel module, params)
+        schedule: Optional[NoiseSchedule] = None,
+        depth_conditioning_mode: Optional[str] = None,     # None|"concat"|"latents"
+        normals_conditioning_mode: Optional[str] = None,   # None|"concat"|"latents"|"ip_adapter"
+        vae_scale_factor: int = 8,
+        scaling_factor: float = 0.18215,
+        dtype: jnp.dtype = jnp.float32,
+    ):
+        self.vae_module, self.vae_params = vae
+        self.text_module, self.text_params = text_encoder
+        self.tokenizer = tokenizer
+        self.unet_module, self.unet_params = unet
+        self.brushnet_module, self.brushnet_params = brushnet
+        self.schedule = schedule or NoiseSchedule.create(
+            num_train_timesteps=1000, beta_start=0.00085, beta_end=0.012,
+            beta_schedule="scaled_linear",
+        )
+        self.depth_conditioning_mode = depth_conditioning_mode
+        self.normals_conditioning_mode = normals_conditioning_mode
+        self.vae_scale_factor = vae_scale_factor
+        self.scaling_factor = scaling_factor
+        self.dtype = dtype
+        self.image_processor = ImageProcessor(vae_scale_factor=vae_scale_factor)
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------ text
+
+    def encode_prompt(
+        self,
+        prompt: Union[str, Sequence[str]],
+        negative_prompt: Union[str, Sequence[str], None] = None,
+        num_images_per_prompt: int = 1,
+        do_classifier_free_guidance: bool = True,
+    ) -> jnp.ndarray:
+        """CLIP-encode prompts; CFG layout [uncond..., cond...]
+        (reference encode_prompt :269-448)."""
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        if negative_prompt is None:
+            negatives = [""] * len(prompts)
+        elif isinstance(negative_prompt, str):
+            negatives = [negative_prompt] * len(prompts)
+        else:
+            negatives = list(negative_prompt)
+
+        def encode(texts):
+            ids = jnp.asarray(self.tokenizer(texts), dtype=jnp.int32)
+            return self._text_apply(self.text_params, ids)
+
+        cond = encode(prompts)
+        cond = jnp.repeat(cond, num_images_per_prompt, axis=0)
+        if not do_classifier_free_guidance:
+            return cond
+        uncond = encode(negatives)
+        uncond = jnp.repeat(uncond, num_images_per_prompt, axis=0)
+        return jnp.concatenate([uncond, cond], axis=0)
+
+    @functools.cached_property
+    def _text_apply(self):
+        return jax.jit(lambda p, ids: self.text_module.apply(p, ids))
+
+    # ------------------------------------------------------------- vae encode
+
+    @functools.cached_property
+    def _encode_sample(self):
+        def f(params, image, rng):
+            dist = self.vae_module.apply(params, image.astype(self.dtype), method=self.vae_module.encode)
+            return dist.sample(rng) * self.scaling_factor
+        return jax.jit(f)
+
+    # ---------------------------------------------------------------- sampler
+
+    def _get_sampler_fn(self, key):
+        """One jitted program: scan(denoise) + vae decode.
+
+        key = (shape tuple, steps, scheduler, guidance bool, guess_mode)."""
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        (b, hl, wl, cl), steps, scheduler_name, do_cfg, guess_mode = key
+
+        if scheduler_name == "unipc":
+            sampler = UniPCSampler(self.schedule, steps)
+            timesteps = sampler.timesteps
+        elif scheduler_name == "ddim":
+            ts = ddim_timesteps(self.schedule.num_train_timesteps, steps)
+            timesteps = jnp.asarray(ts, dtype=jnp.int32)
+            sampler = None
+        else:
+            raise ValueError(scheduler_name)
+
+        unet_apply = self.unet_module.apply
+        brushnet_apply = self.brushnet_module.apply
+        vae_module = self.vae_module
+
+        def denoise_and_decode(unet_params, brushnet_params, vae_params,
+                               latents, cond_latents, prompt_embeds, keep_scales):
+            cond_latents_b = cond_latents
+            if do_cfg and not guess_mode:
+                cond_latents_b = jnp.concatenate([cond_latents, cond_latents], axis=0)
+
+            if guess_mode and do_cfg:
+                brushnet_embeds = prompt_embeds[prompt_embeds.shape[0] // 2:]
+            else:
+                brushnet_embeds = prompt_embeds
+
+            def model_eval(latents, t, cond_scale):
+                latent_in = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
+                control_in = latents if (guess_mode and do_cfg) else latent_in
+                down, mid, up = brushnet_apply(
+                    brushnet_params,
+                    control_in.astype(self.dtype),
+                    t,
+                    brushnet_embeds.astype(self.dtype),
+                    cond_latents_b.astype(self.dtype)
+                    if not (guess_mode and do_cfg) else cond_latents.astype(self.dtype),
+                    conditioning_scale=cond_scale,
+                    guess_mode=guess_mode,
+                )
+                if guess_mode and do_cfg:
+                    down = [jnp.concatenate([jnp.zeros_like(d), d], axis=0) for d in down]
+                    mid = jnp.concatenate([jnp.zeros_like(mid), mid], axis=0)
+                    up = [jnp.concatenate([jnp.zeros_like(u), u], axis=0) for u in up]
+                noise_pred = unet_apply(
+                    unet_params,
+                    latent_in.astype(self.dtype),
+                    t,
+                    prompt_embeds.astype(self.dtype),
+                    down_block_add_samples=down,
+                    mid_block_add_sample=mid,
+                    up_block_add_samples=up,
+                )
+                if do_cfg:
+                    uncond, text = jnp.split(noise_pred, 2, axis=0)
+                    noise_pred = uncond + keep_scales["guidance_scale"] * (text - uncond)
+                return noise_pred
+
+            if scheduler_name == "unipc":
+                state0 = sampler.init_state(latents)
+
+                def body(carry, xs):
+                    latents, state = carry
+                    i, t, keep = xs
+                    noise_pred = model_eval(latents, t, keep)
+                    latents, state = sampler.step(noise_pred, i, latents, state)
+                    return (latents, state), None
+
+                xs = (jnp.arange(steps), timesteps, keep_scales["cond_scale"])
+                (latents, _), _ = jax.lax.scan(body, (latents, state0), xs)
+            else:  # ddim
+                prev_ts = jnp.concatenate(
+                    [timesteps[1:], jnp.full((1,), -1, dtype=jnp.int32)]
+                )
+
+                def body(latents, xs):
+                    t, t_prev, keep = xs
+                    noise_pred = model_eval(latents, t, keep)
+                    latents = ddim_step(self.schedule, noise_pred, t, t_prev, latents)
+                    return latents, None
+
+                xs = (timesteps, prev_ts, keep_scales["cond_scale"])
+                latents, _ = jax.lax.scan(body, latents, xs)
+
+            image = vae_module.apply(
+                vae_params, (latents / self.scaling_factor).astype(self.dtype),
+                method=vae_module.decode,
+            )
+            return image.astype(jnp.float32)
+
+        fn = jax.jit(denoise_and_decode)
+        self._jit_cache[key] = fn
+        return fn
+
+    # ----------------------------------------------------------------- call
+
+    def __call__(
+        self,
+        prompt: Union[str, Sequence[str]],
+        image,                                  # masked image (hole zeroed)
+        mask,                                   # white = mirror region
+        depth=None,
+        normals=None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        negative_prompt: Union[str, Sequence[str], None] = None,
+        num_images_per_prompt: int = 1,
+        seed: Optional[int] = None,
+        rng: Optional[jax.Array] = None,
+        latents: Optional[jnp.ndarray] = None,
+        brushnet_conditioning_scale: float = 1.0,
+        control_guidance_start: float = 0.0,
+        control_guidance_end: float = 1.0,
+        guess_mode: bool = False,
+        scheduler: str = "unipc",
+        output_type: str = "np",
+    ):
+        """Generate; returns images per `output_type` ("np" | "pil" | "latent")."""
+        do_cfg = guidance_scale > 1.0
+        if rng is None:
+            rng = jax.random.PRNGKey(0 if seed is None else seed)
+        rng_noise, rng_vae, rng_dep, rng_nrm = jax.random.split(rng, 4)
+
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        batch_size = len(prompts) * num_images_per_prompt
+
+        # 1. text
+        prompt_embeds = self.encode_prompt(
+            prompt, negative_prompt, num_images_per_prompt, do_cfg
+        )
+
+        # 2. host image prep (NHWC float32 [-1,1])
+        image_np = self.image_processor.preprocess(image, height, width)
+        mask_np = self.image_processor.preprocess(mask, height, width)
+        h, w = image_np.shape[1:3]
+        # 3ch mask -> 1 = keep, 0 = mirror hole (reference :1139)
+        mask_np = (mask_np.sum(-1, keepdims=True) < 0).astype(np.float32)
+
+        if image_np.shape[0] == 1 and batch_size > 1:
+            image_np = np.repeat(image_np, batch_size, axis=0)
+            mask_np = np.repeat(mask_np, batch_size, axis=0)
+
+        hl, wl = h // self.vae_scale_factor, w // self.vae_scale_factor
+
+        # 3. conditioning latents (device)
+        cond = self._encode_sample(self.vae_params, jnp.asarray(image_np), rng_vae)
+        mask_lat = jnp.asarray(interpolate_nearest(mask_np, hl, wl))
+        cond = jnp.concatenate([cond, mask_lat.astype(cond.dtype)], axis=-1)
+
+        if self.depth_conditioning_mode is not None:
+            assert depth is not None, "depth_conditioning_mode set but no depth given"
+            depth_np = self.image_processor.preprocess(depth, h, w)
+            if depth_np.shape[0] == 1 and batch_size > 1:
+                depth_np = np.repeat(depth_np, batch_size, axis=0)
+            if self.depth_conditioning_mode == "concat":
+                d = interpolate_nearest(depth_np[..., :1], hl, wl)
+                cond = jnp.concatenate([cond, jnp.asarray(d).astype(cond.dtype)], axis=-1)
+            elif self.depth_conditioning_mode == "latents":
+                d3 = np.repeat(depth_np[..., :1], 3, axis=-1)
+                dlat = self._encode_sample(self.vae_params, jnp.asarray(d3), rng_dep)
+                cond = jnp.concatenate([cond, dlat.astype(cond.dtype)], axis=-1)
+            else:
+                raise ValueError(self.depth_conditioning_mode)
+
+        if self.normals_conditioning_mode in ("concat", "latents"):
+            assert normals is not None
+            normals_np = self.image_processor.preprocess(normals, h, w)
+            if normals_np.shape[0] == 1 and batch_size > 1:
+                normals_np = np.repeat(normals_np, batch_size, axis=0)
+            if self.normals_conditioning_mode == "concat":
+                n = interpolate_nearest(normals_np, hl, wl)
+                cond = jnp.concatenate([cond, jnp.asarray(n).astype(cond.dtype)], axis=-1)
+            else:
+                nlat = self._encode_sample(self.vae_params, jnp.asarray(normals_np), rng_nrm)
+                cond = jnp.concatenate([cond, nlat.astype(cond.dtype)], axis=-1)
+
+        # 4. initial latents
+        if scheduler == "unipc":
+            init_sigma = 1.0
+        else:
+            init_sigma = 1.0  # DDIM also starts from unit-variance noise
+        if latents is None:
+            noise = jax.random.normal(
+                rng_noise, (batch_size, hl, wl, self.unet_module.in_channels), jnp.float32
+            )
+        else:
+            noise = latents
+        latents0 = noise * init_sigma
+
+        # 5. brushnet_keep windowing (reference :1236-1242)
+        keeps = np.array(
+            [
+                1.0
+                - float(
+                    i / num_inference_steps < control_guidance_start
+                    or (i + 1) / num_inference_steps > control_guidance_end
+                )
+                for i in range(num_inference_steps)
+            ],
+            dtype=np.float32,
+        )
+        cond_scale = jnp.asarray(keeps * brushnet_conditioning_scale)
+
+        key = (
+            (batch_size, hl, wl, self.unet_module.in_channels),
+            num_inference_steps,
+            scheduler,
+            do_cfg,
+            guess_mode,
+        )
+        fn = self._get_sampler_fn(key)
+        image_out = fn(
+            self.unet_params, self.brushnet_params, self.vae_params,
+            latents0, cond, prompt_embeds,
+            {"cond_scale": cond_scale, "guidance_scale": jnp.float32(guidance_scale)},
+        )
+        if output_type == "latent":
+            return np.asarray(image_out)
+        return self.image_processor.postprocess(np.asarray(image_out), output_type=output_type)

@@ -1,0 +1,106 @@
+"""Pipeline smoke tests at tiny config (pattern: reference
+tests/pipelines/test_pipelines_common.py:549 PipelineTesterMixin — tiny
+components, 2-step runs at 64x64, CFG on/off, output-type equivalence)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reflecting_reality_tpu.data.tokenizer import HashTokenizer
+from reflecting_reality_tpu.models.brushnet import BrushNetModel
+from reflecting_reality_tpu.models.clip_text import CLIPTextModel
+from reflecting_reality_tpu.models.unet2d import UNet2DConditionModel
+from reflecting_reality_tpu.models.vae import AutoencoderKL
+from reflecting_reality_tpu.pipelines.brushnet_pipeline import StableDiffusionBrushNetPipeline
+
+H = W = 64  # pixel size; latents 8x8
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = dict(
+        block_out_channels=(8, 16, 16, 16),
+        attention_head_dim=2,
+        cross_attention_dim=32,
+        norm_num_groups=4,
+        layers_per_block=2,
+    )
+    unet = UNet2DConditionModel(sample_size=8, **cfg)
+    brushnet = BrushNetModel(conditioning_channels=6, **cfg)  # 4+1 mask +1 depth
+    vae = AutoencoderKL(block_out_channels=(8, 8, 8, 8), norm_num_groups=4)
+    text = CLIPTextModel(
+        vocab_size=1000, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+    )
+    rngs = jax.random.split(jax.random.PRNGKey(0), 4)
+    sample = jnp.zeros((1, 8, 8, 4))
+    t = jnp.array([1])
+    ehs = jnp.zeros((1, 77, 32))
+    uparams = unet.init(rngs[0], sample, t, ehs)
+    bparams = brushnet.init(rngs[1], sample, t, ehs, jnp.zeros((1, 8, 8, 6)))
+    vparams = vae.init(rngs[2], jnp.zeros((1, H, W, 3)), jax.random.PRNGKey(9))
+    tparams = text.init(rngs[3], jnp.zeros((1, 77), jnp.int32))
+    return StableDiffusionBrushNetPipeline(
+        vae=(vae, vparams),
+        text_encoder=(text, tparams),
+        tokenizer=HashTokenizer(vocab_size=1000),
+        unet=(unet, uparams),
+        brushnet=(brushnet, bparams),
+        depth_conditioning_mode="concat",
+    )
+
+
+def _inputs():
+    rng = np.random.RandomState(0)
+    image = rng.rand(H, W, 3).astype(np.float32)
+    mask = np.zeros((H, W, 3), np.float32)
+    mask[16:48, 16:48] = 1.0  # white = mirror region
+    depth = rng.rand(H, W, 1).astype(np.float32)
+    return image, mask, depth
+
+
+class TestPipeline:
+    def test_unipc_smoke_and_determinism(self, pipe):
+        image, mask, depth = _inputs()
+        kwargs = dict(
+            prompt="a photo of a mirror", image=image, mask=mask, depth=depth,
+            num_inference_steps=2, guidance_scale=7.5, seed=42, scheduler="unipc",
+        )
+        out1 = pipe(**kwargs)
+        out2 = pipe(**kwargs)
+        assert out1.shape == (1, H, W, 3)
+        assert out1.dtype == np.uint8
+        np.testing.assert_array_equal(out1, out2)
+
+    def test_ddim_and_no_cfg(self, pipe):
+        image, mask, depth = _inputs()
+        out = pipe(
+            prompt="mirror", image=image, mask=mask, depth=depth,
+            num_inference_steps=2, guidance_scale=1.0, seed=0, scheduler="ddim",
+        )
+        assert out.shape == (1, H, W, 3)
+
+    def test_seeds_differ(self, pipe):
+        image, mask, depth = _inputs()
+        a = pipe(prompt="m", image=image, mask=mask, depth=depth,
+                 num_inference_steps=2, seed=0)
+        b = pipe(prompt="m", image=image, mask=mask, depth=depth,
+                 num_inference_steps=2, seed=1)
+        assert np.abs(a.astype(int) - b.astype(int)).max() > 0
+
+    def test_latent_output_and_pil(self, pipe):
+        image, mask, depth = _inputs()
+        lat = pipe(prompt="m", image=image, mask=mask, depth=depth,
+                   num_inference_steps=2, seed=0, output_type="latent")
+        assert lat.shape == (1, H, W, 3)  # decoded image pre-postprocess
+        pil = pipe(prompt="m", image=image, mask=mask, depth=depth,
+                   num_inference_steps=2, seed=0, output_type="pil")
+        assert len(pil) == 1 and pil[0].size == (W, H)
+
+    def test_control_guidance_window(self, pipe):
+        image, mask, depth = _inputs()
+        out = pipe(prompt="m", image=image, mask=mask, depth=depth,
+                   num_inference_steps=4, seed=0,
+                   control_guidance_start=0.25, control_guidance_end=0.75)
+        assert out.shape == (1, H, W, 3)
