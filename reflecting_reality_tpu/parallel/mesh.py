@@ -1,0 +1,59 @@
+"""Device-mesh utilities (SURVEY.md §2.2).
+
+The reference's two parallelism strategies map to:
+- DDP training (reference: train_brushnet_mirror.py:902-907,1267 — one torch
+  process per GPU + NCCL allreduce via HF Accelerate) → a single-program
+  `jax.jit` over a 1-D "data" mesh axis: params replicated, batch sharded,
+  gradient psum inserted by XLA over ICI.
+- Embarrassingly-parallel inference/eval sharding (reference:
+  test_brushnet.py:163-168 PartialState.split_between_processes) →
+  `split_between_processes` below, a static round-robin split by
+  jax.process_index for multi-host fleets.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first n devices (default: all)."""
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim; everything else replicated."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data"):
+    """Put a host batch dict onto the mesh, sharded along the batch dim."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_tree(tree, mesh: Mesh):
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, replicated(mesh)), tree)
+
+
+def split_between_processes(items: Sequence, process_index: Optional[int] = None,
+                            process_count: Optional[int] = None) -> list:
+    """Contiguous split of a work list across hosts (reference
+    PartialState.split_between_processes semantics: near-equal contiguous
+    chunks, earlier ranks get the remainder)."""
+    idx = jax.process_index() if process_index is None else process_index
+    n = jax.process_count() if process_count is None else process_count
+    items = list(items)
+    base, rem = divmod(len(items), n)
+    start = idx * base + min(idx, rem)
+    end = start + base + (1 if idx < rem else 0)
+    return items[start:end]

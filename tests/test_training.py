@@ -1,0 +1,142 @@
+"""Training-step tests on the 8-device virtual CPU mesh (SURVEY.md §4:
+mesh tests replace the reference's missing distributed tests — same step on
+1 vs N devices must agree).
+
+Models are 2-block miniatures and fixtures are module-scoped: each extra
+`make_train_step` config costs a full XLA compile on CPU, so the variant
+behaviors (train_base_unet / EMA / SNR-gamma / v-prediction) are asserted
+in one combined build."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reflecting_reality_tpu.models.brushnet import BrushNetModel
+from reflecting_reality_tpu.models.clip_text import CLIPTextModel
+from reflecting_reality_tpu.models.unet2d import UNet2DConditionModel
+from reflecting_reality_tpu.models.vae import AutoencoderKL
+from reflecting_reality_tpu.parallel.mesh import make_mesh, shard_batch, replicate_tree
+from reflecting_reality_tpu.training.train_step import TrainConfig, make_train_step
+
+CFG = dict(
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    block_out_channels=(8, 16),
+    attention_head_dim=2,
+    cross_attention_dim=16,
+    norm_num_groups=4,
+    layers_per_block=1,
+)
+BCFG = dict(
+    down_block_types=("DownBlock2D", "DownBlock2D"),
+    mid_block_type="MidBlock2D",
+    up_block_types=("UpBlock2D", "UpBlock2D"),
+    block_out_channels=(8, 16),
+    attention_head_dim=2,
+    cross_attention_dim=16,
+    norm_num_groups=4,
+    layers_per_block=1,
+)
+H = W = 16  # pixels; latents 2x2
+
+
+def build(**kw):
+    unet = UNet2DConditionModel(sample_size=2, **CFG)
+    brushnet = BrushNetModel(conditioning_channels=6, **BCFG)
+    vae = AutoencoderKL(block_out_channels=(4, 4, 4, 4), norm_num_groups=2)
+    text = CLIPTextModel(vocab_size=100, hidden_size=16, num_hidden_layers=1,
+                         num_attention_heads=2, intermediate_size=32)
+    r = jax.random.split(jax.random.PRNGKey(0), 4)
+    sample = jnp.zeros((1, 2, 2, 4))
+    t = jnp.array([1])
+    ehs = jnp.zeros((1, 7, 16))
+    uparams = unet.init(r[0], sample, t, ehs)
+    bparams = brushnet.init(r[1], sample, t, ehs, jnp.zeros((1, 2, 2, 6)))
+    vparams = vae.init(r[2], jnp.zeros((1, H, W, 3)), jax.random.PRNGKey(9))
+    tparams = text.init(r[3], jnp.zeros((1, 7), jnp.int32))
+    config = TrainConfig(
+        learning_rate=1e-3, lr_warmup_steps=0, max_train_steps=100, **kw,
+    )
+    step_fn, init_state = make_train_step(unet, brushnet, vae, text, config)
+    state = init_state(bparams, uparams, vparams, tparams)
+    return step_fn, state
+
+
+def batch_of(n):
+    r = np.random.RandomState(0)
+    return {
+        "pixel_values": jnp.asarray(r.randn(n, H, W, 3), jnp.float32),
+        "conditioning_pixel_values": jnp.asarray(r.randn(n, H, W, 3), jnp.float32),
+        "masks": jnp.asarray((r.rand(n, H, W, 1) > 0.5), jnp.float32),
+        "depths": jnp.asarray(r.randn(n, H, W, 1), jnp.float32),
+        "input_ids": jnp.asarray(r.randint(0, 100, (n, 7)), jnp.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def default_run():
+    step_fn, state = build()
+    s1, m1 = jax.jit(step_fn)(state, batch_of(8), jax.random.PRNGKey(0))
+    return step_fn, state, s1, m1
+
+
+class TestTrainStep:
+    def test_loss_finite_and_zero_convs_update(self, default_run):
+        _, state, s1, m1 = default_run
+        assert np.isfinite(float(m1["loss"]))
+        assert int(s1.step) == 1
+        zc0 = state.trainable["brushnet"]["params"]["brushnet_mid_block"]["kernel"]
+        zc1 = s1.trainable["brushnet"]["params"]["brushnet_mid_block"]["kernel"]
+        assert float(jnp.abs(zc1 - zc0).max()) > 0
+
+    def test_frozen_unet_stays_frozen(self, default_run):
+        _, state, s1, _ = default_run
+        assert "unet" not in state.trainable
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.frozen["unet"]),
+            jax.tree_util.tree_leaves(s1.frozen["unet"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_variant_config_combined(self):
+        """train_base_unet + EMA + SNR-gamma + v-prediction in one compile."""
+        step_fn, state = build(
+            train_base_unet=True, use_ema=True, snr_gamma=5.0,
+            prediction_type="v_prediction",
+        )
+        s1, m = jax.jit(step_fn)(state, batch_of(2), jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["loss"]))
+        # base unet trained
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            state.trainable["unet"], s1.trainable["unet"],
+        )
+        assert max(jax.tree_util.tree_leaves(diff)) > 0
+        # EMA after 1 step: ramp decay = min(0.9999, 1/10) = 0.1
+        e = s1.ema["brushnet"]["params"]["conv_in_condition"]["kernel"]
+        p0 = state.trainable["brushnet"]["params"]["conv_in_condition"]["kernel"]
+        p1 = s1.trainable["brushnet"]["params"]["conv_in_condition"]["kernel"]
+        np.testing.assert_allclose(
+            np.asarray(e), np.asarray(p0 * 0.1 + p1 * 0.9), rtol=1e-5, atol=1e-7
+        )
+
+
+class TestDataParallel:
+    def test_mesh_step_matches_single_device(self, default_run):
+        """Same global batch: 8-way sharded step == single-device step
+        (the gradient psum the compiler inserts must reproduce DDP exactly)."""
+        step_fn, state, s_single, m_single = default_run
+        batch = batch_of(8)
+
+        mesh = make_mesh(8)
+        state_r = replicate_tree(state, mesh)
+        batch_s = shard_batch(batch, mesh)
+        s_mesh, m_mesh = jax.jit(step_fn)(state_r, batch_s, jax.random.PRNGKey(0))
+
+        np.testing.assert_allclose(
+            float(m_single["loss"]), float(m_mesh["loss"]), rtol=1e-5
+        )
+        a = np.asarray(s_single.trainable["brushnet"]["params"]["conv_in_condition"]["kernel"])
+        b = np.asarray(s_mesh.trainable["brushnet"]["params"]["conv_in_condition"]["kernel"])
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
