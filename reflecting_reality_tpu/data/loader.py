@@ -1,0 +1,96 @@
+"""Batched, prefetching data loader (replaces torch DataLoader + Accelerate
+prepare, reference train_brushnet_mirror.py:1242-1269).
+
+Host-side: a thread pool maps dataset.__getitem__ (h5py/PIL release the GIL),
+a collate stacks NHWC numpy batches (reference collate_fn :796-835), and
+`prefetch_to_device` keeps `prefetch` batches in flight onto the mesh so the
+TPU never waits on the host (SURVEY.md §7 stage 6)."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def collate(examples) -> Dict[str, np.ndarray]:
+    batch = {}
+    for key in examples[0]:
+        batch[key] = np.ascontiguousarray(np.stack([e[key] for e in examples]))
+        if batch[key].dtype == np.float64:
+            batch[key] = batch[key].astype(np.float32)
+    return batch
+
+
+class DataLoader:
+    """Shuffling, dropping-last, thread-parallel batch loader."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 8, seed: int = 0, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(order)
+        self.epoch += 1
+
+        stop = n - (n % self.batch_size) if self.drop_last else n
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            pending = []
+            for start in range(0, stop, self.batch_size):
+                idxs = order[start : start + self.batch_size]
+                pending.append(pool.map(self.dataset.__getitem__, idxs))
+                # keep 2 batches in flight
+                if len(pending) > 2:
+                    yield collate(list(pending.pop(0)))
+            for fut in pending:
+                yield collate(list(fut))
+
+
+def prefetch_to_device(iterator, mesh=None, size: int = 2):
+    """Wrap a host batch iterator with a device-put prefetch queue.
+
+    With a mesh, batches are sharded on the leading axis (data-parallel);
+    otherwise they are device_put to the default device."""
+    import jax
+
+    if mesh is not None:
+        from reflecting_reality_tpu.parallel.mesh import shard_batch
+
+        put = lambda b: shard_batch(b, mesh)
+    else:
+        put = jax.device_put
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(put(batch))
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
