@@ -1,0 +1,154 @@
+"""LPIPS (squeeze variant) in flax (reference reaches it via
+torchmetrics.functional.image.lpips with net_type='squeeze',
+metrics/metrics.py:201-204).
+
+Architecture: SqueezeNet-1.1 feature trunk evaluated at the 7 standard LPIPS
+taps, per-tap channel-unit-normalization, squared difference, 1x1 linear
+head (non-negative weights), spatial mean, sum over taps.  Inputs are NHWC
+in [-1, 1] and are first shift/scale-normalized with the LPIPS constants.
+
+Weights: `load_torch_lpips_state` converts the torch checkpoint layout used
+by torchmetrics/richzhang (net.slice*/lin*.model.1.weight) into this module's
+param tree.  Hermetic environments without the checkpoint can still construct
+the module (e.g. random init for tests), but scores then aren't LPIPS.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+# LPIPS input normalization constants (richzhang/PerceptualSimilarity).
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+# SqueezeNet-1.1 trunk; LPIPS taps after each relu group.
+# (name, out_channels) of the 7 taps: 64, 128, 256, 384, 384, 512, 512
+_TAP_CHANNELS = (64, 128, 256, 384, 384, 512, 512)
+
+
+class _Fire(nn.Module):
+    squeeze: int
+    expand: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = nn.relu(nn.Conv(self.squeeze, (1, 1), dtype=self.dtype, name="squeeze")(x))
+        e1 = nn.Conv(self.expand, (1, 1), dtype=self.dtype, name="expand1x1")(s)
+        e3 = nn.Conv(self.expand, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                     name="expand3x3")(s)
+        return nn.relu(jnp.concatenate([e1, e3], axis=-1))
+
+
+def _maxpool(x):
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+
+
+class SqueezeFeatures(nn.Module):
+    """SqueezeNet-1.1 features with the 7 LPIPS tap outputs."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> List[jnp.ndarray]:
+        taps = []
+        x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), dtype=self.dtype, name="conv0")(x))
+        taps.append(x)                                   # slice1
+        x = _maxpool(x)
+        x = _Fire(16, 64, self.dtype, name="fire3")(x)
+        x = _Fire(16, 64, self.dtype, name="fire4")(x)
+        taps.append(x)                                   # slice2
+        x = _maxpool(x)
+        x = _Fire(32, 128, self.dtype, name="fire6")(x)
+        x = _Fire(32, 128, self.dtype, name="fire7")(x)
+        taps.append(x)                                   # slice3
+        x = _maxpool(x)
+        x = _Fire(48, 192, self.dtype, name="fire9")(x)
+        taps.append(x)                                   # slice4
+        x = _Fire(48, 192, self.dtype, name="fire10")(x)
+        taps.append(x)                                   # slice5
+        x = _Fire(64, 256, self.dtype, name="fire11")(x)
+        taps.append(x)                                   # slice6
+        x = _Fire(64, 256, self.dtype, name="fire12")(x)
+        taps.append(x)                                   # slice7
+        return taps
+
+
+class LPIPS(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+        """pred/target: (B, H, W, 3) in [-1, 1] -> scalar LPIPS mean."""
+        shift = jnp.asarray(_SHIFT)
+        scale = jnp.asarray(_SCALE)
+        net = SqueezeFeatures(self.dtype, name="net")
+
+        fa = net((pred - shift) / scale)
+        fb = net((target - shift) / scale)
+
+        total = 0.0
+        for i, (a, b) in enumerate(zip(fa, fb)):
+            a = a / jnp.sqrt(jnp.sum(a**2, axis=-1, keepdims=True) + 1e-10)
+            b = b / jnp.sqrt(jnp.sum(b**2, axis=-1, keepdims=True) + 1e-10)
+            d = (a - b) ** 2
+            lin = nn.Conv(1, (1, 1), use_bias=False, dtype=self.dtype, name=f"lin{i}")
+            total = total + jnp.mean(lin(d), axis=(1, 2, 3))
+        return jnp.mean(total)
+
+
+# SqueezeNet-1.1 torch layer indices for the trunk convs (features.N).
+_TORCH_LAYERS = {
+    "conv0": 0,
+    "fire3": 3, "fire4": 4, "fire6": 6, "fire7": 7,
+    "fire9": 9, "fire10": 10, "fire11": 11, "fire12": 12,
+}
+
+
+def load_torch_lpips_state(state: Dict[str, np.ndarray]) -> dict:
+    """torch LPIPS(squeeze) state dict -> flax params for `LPIPS`.
+
+    Accepts both torchmetrics (`net.slice*.*`/`lin*.model.1.weight`) and
+    richzhang (`net.features.*`, `lin*.model.1.weight`) layouts."""
+    def conv(w, b=None):
+        p = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+        if b is not None:
+            p["bias"] = b
+        return p
+
+    params: dict = {"net": {}}
+    # normalize key layout: build features.N -> arrays map
+    feats: Dict[str, np.ndarray] = {}
+    for k, v in state.items():
+        k2 = k.replace("net.features.", "").replace("net.", "")
+        feats[k2] = np.asarray(v)
+
+    def get(n, sub):
+        for pattern in (f"{n}.{sub}", f"slice{n}.{sub}"):
+            if pattern in feats:
+                return feats[pattern]
+        raise KeyError(f"missing {n}.{sub}")
+
+    for name, idx in _TORCH_LAYERS.items():
+        if name == "conv0":
+            params["net"]["conv0"] = conv(get(idx, "weight"), get(idx, "bias"))
+        else:
+            params["net"][name] = {
+                "squeeze": conv(get(idx, "squeeze.weight"), get(idx, "squeeze.bias")),
+                "expand1x1": conv(get(idx, "expand1x1.weight"), get(idx, "expand1x1.bias")),
+                "expand3x3": conv(get(idx, "expand3x3.weight"), get(idx, "expand3x3.bias")),
+            }
+    for i in range(7):
+        w = None
+        for k in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight"):
+            if k in feats:
+                w = feats[k]
+                break
+        if w is None:
+            raise KeyError(f"missing lin{i} weight")
+        params[f"lin{i}"] = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+    return {"params": params}
