@@ -1,0 +1,434 @@
+"""Training driver (reference: examples/brushnet/train_brushnet_mirror.py).
+
+Flag-compatible CLI around the TPU-native pieces: SD-1.5 component loading,
+BrushNet `from_unet` weight surgery, SynMirror dataset + threaded loader with
+device prefetch, one jitted SPMD train step over the data mesh, reference-
+layout checkpointing with total-limit pruning + custom step list, periodic
+validation through the jitted pipeline (PSNR/SSIM logged like
+log_validation, reference :91-294), and wandb/tensorboard/jsonl trackers.
+
+conditioning_channels follows the reference exactly (:968-979):
+5 + {concat:1, latents:4}(depth) + {concat:3, latents:4}(normals).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def conditioning_channels_for(depth_mode: Optional[str], normals_mode: Optional[str]) -> int:
+    ch = 5
+    ch += {"concat": 1, "latents": 4, None: 0}[depth_mode]
+    ch += {"concat": 3, "latents": 4, "ip_adapter": 0, None: 0}[normals_mode]
+    return ch
+
+
+class JsonlTracker:
+    """Always-on fallback tracker: one json line per logged step."""
+
+    def __init__(self, logging_dir: str):
+        os.makedirs(logging_dir, exist_ok=True)
+        self.f = open(os.path.join(logging_dir, "metrics.jsonl"), "a")
+
+    def log(self, values: dict, step: int):
+        self.f.write(json.dumps({"step": step, **values}) + "\n")
+        self.f.flush()
+
+
+def make_trackers(args):
+    trackers = [JsonlTracker(args.logging_dir)]
+    if args.report_to in ("wandb", "all"):
+        try:
+            import wandb
+
+            wandb.init(project=args.tracker_project_name, config=vars(args))
+            trackers.append(wandb)
+        except Exception as e:  # pragma: no cover
+            logger.warning("wandb unavailable (%s); falling back to jsonl", e)
+    return trackers
+
+
+def log_to_trackers(trackers, values: dict, step: int):
+    for t in trackers:
+        try:
+            t.log(values, step=step) if hasattr(t, "log") else None
+        except TypeError:
+            t.log(values, step)
+
+
+def load_models(args, dtype):
+    """SD-1.5 components + BrushNet twin with from_unet surgery."""
+    import jax.numpy as jnp
+
+    from reflecting_reality_tpu.core.io import load_pretrained, load_safetensors, torch_to_flax_params
+    from reflecting_reality_tpu.data.tokenizer import CLIPTokenizer, HashTokenizer
+    from reflecting_reality_tpu.models.brushnet import BrushNetModel, init_params_from_unet
+    from reflecting_reality_tpu.models.clip_text import CLIPTextModel
+    from reflecting_reality_tpu.models.unet2d import UNet2DConditionModel
+    from reflecting_reality_tpu.models.vae import AutoencoderKL
+    import jax
+
+    base = args.pretrained_model_name_or_path
+    cond_ch = conditioning_channels_for(
+        args.depth_conditioning_mode, args.normals_conditioning_mode
+    )
+
+    ip_mode = args.normals_conditioning_mode == "ip_adapter"
+    unet_overrides = {}
+    if ip_mode:
+        from reflecting_reality_tpu.models.ip_adapter import DEFAULT_NUM_TOKENS
+
+        unet_overrides = dict(ip_num_tokens=DEFAULT_NUM_TOKENS,
+                              ip_scale=args.ip_adapter_scale)
+    unet_module, unet_params = load_pretrained(
+        UNet2DConditionModel, base, subfolder="unet", dtype=dtype, **unet_overrides
+    )
+    if ip_mode:
+        # graft to_k_ip/to_v_ip (initialized from to_k/to_v) into the loaded tree
+        from reflecting_reality_tpu.models.ip_adapter import init_ip_params_from_unet
+
+        sample = np.zeros((1, 8, 8, 4), np.float32)
+        t0 = np.zeros((1,), np.int32)
+        ehs0 = np.zeros((1, 77 + 1, unet_module.cross_attention_dim), np.float32)
+        fresh = jax.jit(unet_module.init)(jax.random.PRNGKey(0), sample, t0, ehs0)
+        unet_params = {"params": init_ip_params_from_unet(
+            jax.device_get(fresh)["params"], unet_params["params"]
+        )}
+    vae = load_pretrained(AutoencoderKL, base, subfolder="vae", dtype=dtype)
+
+    from reflecting_reality_tpu.models.clip_text import load_text_encoder
+
+    text = load_text_encoder(base, dtype=dtype)
+    tokenizer = CLIPTokenizer.from_pretrained(base, subfolder="tokenizer")
+
+    if args.brushnet_model_name_or_path:
+        brushnet_module, brushnet_params = load_pretrained(
+            BrushNetModel, args.brushnet_model_name_or_path, dtype=dtype
+        )
+    else:
+        # from_unet: conv-only twin + weight surgery (reference brushnet.py:452-530)
+        cfg = BrushNetModel.config_from_unet(unet_module, conditioning_channels=cond_ch)
+        brushnet_module = BrushNetModel.from_config(cfg, dtype=dtype)
+        sample = np.zeros((1, 8, 8, 4), np.float32)
+        t = np.zeros((1,), np.int32)
+        ehs = np.zeros((1, 77, unet_module.cross_attention_dim), np.float32)
+        cond = np.zeros((1, 8, 8, cond_ch), np.float32)
+        brushnet_params = jax.jit(brushnet_module.init)(
+            jax.random.PRNGKey(args.seed or 0), sample, t, ehs, cond
+        )
+        brushnet_params = {
+            "params": init_params_from_unet(
+                jax.device_get(brushnet_params)["params"], unet_params["params"]
+            )
+        }
+    normal_proj = None
+    if ip_mode:
+        from reflecting_reality_tpu.models.ip_adapter import NormalProjModel, NORMALS_EMBED_DIM
+
+        proj = NormalProjModel(unet_module.cross_attention_dim, dtype=dtype)
+        normal_proj = (proj, proj.init(jax.random.PRNGKey(1),
+                                       np.zeros((1, 1, NORMALS_EMBED_DIM), np.float32)))
+    return ((unet_module, unet_params), brushnet_module, brushnet_params,
+            vae, text, tokenizer, normal_proj)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from reflecting_reality_tpu.data.loader import DataLoader, prefetch_to_device
+    from reflecting_reality_tpu.data.synmirror import HDF5Dataset, MSDDataset
+    from reflecting_reality_tpu.parallel.mesh import make_mesh, replicate_tree
+    from reflecting_reality_tpu.training import checkpoint as ckpt
+    from reflecting_reality_tpu.training.train_step import TrainConfig, make_train_step
+
+    dtype = {"no": jnp.float32, "fp16": jnp.float32, "bf16": jnp.bfloat16}[
+        args.mixed_precision
+    ]
+
+    (unet_module, unet_params), brushnet_module, brushnet_params, vae, text, tokenizer, normal_proj = (
+        load_models(args, dtype)
+    )
+
+    # dataset
+    df = pd.read_csv(os.path.join(args.train_data_dir, args.train_csv))
+    if args.max_train_samples:
+        df = df.iloc[: args.max_train_samples]
+    ds_cls = {"synmirror": HDF5Dataset, "msd": MSDDataset}[args.dataset_type]
+    dataset = ds_cls(
+        args.train_data_dir, df, tokenizer,
+        resolution=args.resolution,
+        proportion_empty_prompts=args.proportion_empty_prompts,
+        mirror_prompt=args.mirror_prompt,
+        caption_column=args.caption_column,
+        random_flip=args.random_flip,
+        seed=args.seed,
+        depth=args.depth_conditioning_mode is not None,
+        normals_conditioning_mode=args.normals_conditioning_mode or False,
+        hint_map_dir=args.hint_map_dir,
+        cam_states=args.cam_states,
+    )
+
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.flatten())
+    global_batch = args.train_batch_size * n_dev
+    loader = DataLoader(dataset, global_batch, shuffle=True,
+                        num_workers=args.dataloader_num_workers or 8, seed=args.seed or 0)
+
+    config = TrainConfig(
+        learning_rate=args.learning_rate,
+        scale_lr=args.scale_lr,
+        lr_scheduler=args.lr_scheduler,
+        lr_warmup_steps=args.lr_warmup_steps,
+        lr_num_cycles=args.lr_num_cycles,
+        lr_power=args.lr_power,
+        max_train_steps=args.max_train_steps,
+        adam_weight_decay=args.adam_weight_decay,
+        adam_epsilon=args.adam_epsilon,
+        max_grad_norm=args.max_grad_norm,
+        snr_gamma=args.snr_gamma,
+        train_base_unet=args.train_base_unet,
+        use_ema=args.use_ema,
+        depth_conditioning_mode=args.depth_conditioning_mode,
+        normals_conditioning_mode=args.normals_conditioning_mode,
+    )
+    step_fn, init_state = make_train_step(
+        unet_module, brushnet_module, vae[0], text[0], config, dtype=dtype
+    )
+    state = init_state(brushnet_params, unet_params, vae[1], text[1],
+                       normal_proj_params=normal_proj[1] if normal_proj else None)
+
+    # resume
+    if args.resume_from_checkpoint:
+        path = (ckpt.latest_checkpoint(args.output_dir)
+                if args.resume_from_checkpoint == "latest"
+                else args.resume_from_checkpoint)
+        if path:
+            logger.info("Resuming from %s", path)
+            state = ckpt.load_state(path, state)
+
+    state = replicate_tree(state, mesh)
+    step_fn = jax.jit(step_fn, donate_argnums=(0,))
+
+    trackers = make_trackers(args)
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2, default=str)
+
+    custom_steps = set(args.custom_checkpoints or [])
+    rng = jax.random.PRNGKey(args.seed or 0)
+    step = int(jax.device_get(state.step))
+    t0 = time.time()
+    logger.info("Training: %d devices, global batch %d, start step %d",
+                n_dev, global_batch, step)
+
+    if len(loader) == 0:
+        raise ValueError(
+            f"dataset ({len(dataset)} samples) smaller than the global batch "
+            f"({global_batch} = {args.train_batch_size} x {n_dev} devices)"
+        )
+    while step < args.max_train_steps:
+        for batch in prefetch_to_device(iter(loader), mesh):
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, step_rng)
+            step += 1
+
+            if step % args.log_every == 0:
+                m = jax.device_get(metrics)
+                sps = args.log_every / (time.time() - t0)
+                t0 = time.time()
+                log_to_trackers(trackers, {
+                    "loss": float(m["loss"]),
+                    "grad_norm": float(m["grad_norm"]),
+                    "steps_per_sec": round(sps, 3),
+                }, step)
+
+            if step % args.checkpointing_steps == 0 or step in custom_steps:
+                path = ckpt.save_state(
+                    args.output_dir, step, state, brushnet_module, unet_module,
+                    total_limit=args.checkpoints_total_limit, keep=custom_steps,
+                )
+                logger.info("Saved %s", path)
+
+            if args.validation_steps and step % args.validation_steps == 0:
+                try:
+                    run_validation(args, state, unet_module, brushnet_module,
+                                   vae, text, tokenizer, trackers, step, dtype)
+                except Exception as e:
+                    logger.warning("validation failed: %s", e)
+
+            if step >= args.max_train_steps:
+                break
+
+    ckpt.save_state(args.output_dir, step, state, brushnet_module, unet_module,
+                    total_limit=None, keep=custom_steps)
+    logger.info("Done at step %d", step)
+
+
+def run_validation(args, state, unet_module, brushnet_module, vae, text,
+                   tokenizer, trackers, step, dtype):
+    """log_validation (reference :91-294): sample validation rows, run the
+    live pipeline at 20 UniPC steps x num_images_per_validation seeds, log
+    best-of-seed PSNR/SSIM + image grids."""
+    import h5py
+    import jax
+    import pandas as pd
+    from PIL import Image
+
+    from reflecting_reality_tpu.data.synmirror import (
+        apply_transforms_depth, extract_data_from_hdf5,
+    )
+    from reflecting_reality_tpu.metrics.functional import psnr_ssim
+    from reflecting_reality_tpu.pipelines.brushnet_pipeline import StableDiffusionBrushNetPipeline
+
+    host = jax.device_get(state)
+    unet_params = host.trainable.get("unet", host.frozen.get("unet"))
+    pipe = StableDiffusionBrushNetPipeline(
+        vae=(vae[0], host.frozen["vae"]),
+        text_encoder=(text[0], host.frozen["text"]),
+        tokenizer=tokenizer,
+        unet=(unet_module, unet_params),
+        brushnet=(brushnet_module, host.trainable["brushnet"]),
+        depth_conditioning_mode=args.depth_conditioning_mode,
+        normals_conditioning_mode=args.normals_conditioning_mode,
+        dtype=dtype,
+    )
+    df = pd.read_csv(os.path.join(args.train_data_dir, args.test_csv))
+    if args.validation_csv_indices:
+        df = df.iloc[args.validation_csv_indices]
+    else:
+        df = df.iloc[: args.num_validation_images]
+
+    val_dir = os.path.join(args.output_dir, "validation", f"step-{step}")
+    os.makedirs(val_dir, exist_ok=True)
+    best_psnrs, best_ssims = [], []
+    for _, row in df.iterrows():
+        with h5py.File(os.path.join(args.train_data_dir, str(row["path"])), "r") as f:
+            data = extract_data_from_hdf5(f)
+        depth = None
+        if args.depth_conditioning_mode is not None:
+            depth = apply_transforms_depth(data["depth"], data["mask"],
+                                           resolution=args.resolution)
+        prompt = args.mirror_prompt + str(row[args.caption_column])
+        scores = []
+        for k in range(args.num_images_per_validation):
+            out = pipe(
+                prompt,
+                Image.fromarray(data["masked_image"]),
+                Image.fromarray(data["mask"]).convert("RGB"),
+                depth=depth,
+                height=args.resolution, width=args.resolution,
+                num_inference_steps=args.num_inference_steps,
+                guidance_scale=7.5, seed=k,
+                brushnet_conditioning_scale=args.brushnet_conditioning_scale,
+            )[0]
+            p, s = psnr_ssim(out.astype(np.float32),
+                             data["image"].astype(np.float32))
+            scores.append((p, s, out))
+            Image.fromarray(out).save(
+                os.path.join(val_dir, f"{row['uid']}_{k}.png")
+            )
+        best = max(scores, key=lambda x: x[1])
+        best_psnrs.append(best[0])
+        best_ssims.append(best[1])
+
+    log_to_trackers(trackers, {
+        "val/psnr": float(np.mean(best_psnrs)),
+        "val/ssim": float(np.mean(best_ssims)),
+    }, step)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="MirrorFusion training")
+    # model
+    p.add_argument("--pretrained_model_name_or_path", type=str, required=True)
+    p.add_argument("--brushnet_model_name_or_path", type=str, default=None)
+    p.add_argument("--revision", type=str, default=None)
+    p.add_argument("--variant", type=str, default=None)
+    p.add_argument("--tokenizer_name", type=str, default=None)
+    p.add_argument("--summarizer", type=str, default=None)
+    # io
+    p.add_argument("--output_dir", type=str, default="runs/brushnet-model")
+    p.add_argument("--cache_dir", type=str, default=None)
+    p.add_argument("--logging_dir", type=str, default="logs")
+    p.add_argument("--report_to", type=str, default="wandb")
+    p.add_argument("--tracker_project_name", type=str, default="train_brushnet_mirror")
+    p.add_argument("--log_every", type=int, default=10)
+    # training
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--train_batch_size", type=int, default=4)
+    p.add_argument("--num_train_epochs", type=int, default=1)
+    p.add_argument("--max_train_steps", type=int, default=20000)
+    p.add_argument("--checkpointing_steps", type=int, default=500)
+    p.add_argument("--custom_checkpoints", type=int, nargs="+", default=None)
+    p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument("--learning_rate", type=float, default=5e-6)
+    p.add_argument("--scale_lr", action="store_true")
+    p.add_argument("--lr_scheduler", type=str, default="constant")
+    p.add_argument("--lr_warmup_steps", type=int, default=500)
+    p.add_argument("--lr_num_cycles", type=int, default=1)
+    p.add_argument("--lr_power", type=float, default=1.0)
+    p.add_argument("--dataloader_num_workers", type=int, default=0)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--adam_epsilon", type=float, default=1e-08)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--snr_gamma", type=float, default=None)
+    p.add_argument("--mixed_precision", type=str, default="no",
+                   choices=["no", "fp16", "bf16"])
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--set_grads_to_none", action="store_true")
+    p.add_argument("--enable_xformers_memory_efficient_attention", action="store_true")
+    # data
+    p.add_argument("--dataset_name", type=str, default=None)
+    p.add_argument("--dataset_config_name", type=str, default=None)
+    p.add_argument("--train_data_dir", type=str, required=True)
+    p.add_argument("--dataset_type", type=str, default="synmirror",
+                   choices=["synmirror", "msd"])
+    p.add_argument("--train_csv", type=str, default="train.csv")
+    p.add_argument("--test_csv", type=str, default="test.csv")
+    p.add_argument("--caption_column", type=str, default="auto_caption")
+    p.add_argument("--mirror_prompt", type=str,
+                   default="A perfect plane mirror reflection of ")
+    p.add_argument("--image_column", type=str, default="image")
+    p.add_argument("--conditioning_image_column", type=str, default="conditioning_image")
+    p.add_argument("--max_train_samples", type=int, default=None)
+    p.add_argument("--proportion_empty_prompts", type=float, default=0.2)
+    p.add_argument("--random_flip", action="store_true")
+    p.add_argument("--hint_map_dir", type=str, default=None)
+    p.add_argument("--cam_states", action="store_true")
+    # conditioning
+    p.add_argument("--depth_conditioning_mode", type=str, default=None,
+                   choices=[None, "concat", "latents"])
+    p.add_argument("--normals_conditioning_mode", type=str, default=None,
+                   choices=[None, "concat", "latents", "ip_adapter"])
+    p.add_argument("--ip_adapter_scale", type=float, default=1.0)
+    p.add_argument("--train_base_unet", action="store_true")
+    # validation
+    p.add_argument("--num_validation_images", type=int, default=4)
+    p.add_argument("--validation_csv_indices", type=int, nargs="+", default=None)
+    p.add_argument("--num_images_per_validation", type=int, default=4)
+    p.add_argument("--brushnet_conditioning_scale", type=float, default=1.0)
+    p.add_argument("--num_inference_steps", type=int, default=20)
+    p.add_argument("--validation_steps", type=int, default=1000)
+    return p
+
+
+if __name__ == "__main__":
+    main()

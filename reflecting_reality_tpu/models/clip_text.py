@@ -158,3 +158,38 @@ class _TextModel(nn.Module):
         )(x, causal_mask)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_layer_norm")(x)
         return x
+
+
+def load_text_encoder(base_path: str, subfolder: str = "text_encoder",
+                      dtype=jnp.float32):
+    """(module, params) from a transformers-layout checkpoint folder
+    (config.json + model.safetensors), the layout SD checkpoints ship
+    (reference train_brushnet_mirror.py:937-960)."""
+    import json
+    import os
+
+    from reflecting_reality_tpu.core.io import load_safetensors, torch_to_flax_params
+
+    root = os.path.join(base_path, subfolder)
+    cfg = {}
+    cfg_path = os.path.join(root, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            raw = json.load(f)
+        cfg = {
+            k: raw[k]
+            for k in ("vocab_size", "hidden_size", "num_hidden_layers",
+                      "num_attention_heads", "intermediate_size",
+                      "max_position_embeddings")
+            if k in raw
+        }
+    module = CLIPTextModel(dtype=dtype, **cfg)
+    weights = None
+    for name in ("model.safetensors", "pytorch_model.safetensors"):
+        path = os.path.join(root, name)
+        if os.path.exists(path):
+            weights = load_safetensors(path)
+            break
+    if weights is None:
+        raise FileNotFoundError(f"no text encoder weights under {root}")
+    return module, {"params": torch_to_flax_params(weights)}

@@ -44,6 +44,11 @@ class UNet2DConditionModel(nn.Module, ConfigMixin):
     use_linear_projection: bool = False
     flip_sin_to_cos: bool = True
     freq_shift: int = 0
+    # IP-Adapter (normals conditioning): when set, every cross-attention
+    # layer treats the LAST ip_num_tokens of encoder_hidden_states as the
+    # decoupled image/normal tokens (reference train_brushnet_mirror.py:1085-1123).
+    ip_num_tokens: Optional[int] = None
+    ip_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     def _heads(self) -> Tuple[int, ...]:
@@ -108,6 +113,8 @@ class UNet2DConditionModel(nn.Module, ConfigMixin):
                     num_attention_heads=heads[i],
                     cross_attention_dim=self.cross_attention_dim,
                     use_linear_projection=self.use_linear_projection,
+                    ip_num_tokens=self.ip_num_tokens,
+                    ip_scale=self.ip_scale,
                 )
             n_take = self.layers_per_block + (0 if is_final else 1)
             adds = [down_adds.pop(0) for _ in range(n_take)] if is_brushnet else None
@@ -128,6 +135,8 @@ class UNet2DConditionModel(nn.Module, ConfigMixin):
                 num_attention_heads=heads[-1],
                 cross_attention_dim=self.cross_attention_dim,
                 use_linear_projection=self.use_linear_projection,
+                ip_num_tokens=self.ip_num_tokens,
+                ip_scale=self.ip_scale,
             )
         sample = mid_cls(name="mid_block", **mid_kwargs)(
             sample, emb, encoder_hidden_states=encoder_hidden_states
@@ -170,6 +179,8 @@ class UNet2DConditionModel(nn.Module, ConfigMixin):
                     num_attention_heads=reversed_heads[i],
                     cross_attention_dim=self.cross_attention_dim,
                     use_linear_projection=self.use_linear_projection,
+                    ip_num_tokens=self.ip_num_tokens,
+                    ip_scale=self.ip_scale,
                 )
             n_take = num_layers + (0 if is_final else 1)
             adds = [up_adds.pop(0) for _ in range(n_take)] if is_brushnet else None

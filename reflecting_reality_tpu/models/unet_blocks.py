@@ -80,6 +80,8 @@ class CrossAttnDownBlock2D(nn.Module):
     resnet_groups: int = 32
     downsample_padding: int = 1
     use_linear_projection: bool = False
+    ip_num_tokens: Optional[int] = None
+    ip_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     has_cross_attention = True
@@ -104,6 +106,8 @@ class CrossAttnDownBlock2D(nn.Module):
                 cross_attention_dim=self.cross_attention_dim,
                 norm_num_groups=self.resnet_groups,
                 use_linear_projection=self.use_linear_projection,
+                ip_num_tokens=self.ip_num_tokens,
+                ip_scale=self.ip_scale,
                 dtype=self.dtype,
                 name=f"attentions_{i}",
             )(x, encoder_hidden_states=encoder_hidden_states)
@@ -184,6 +188,8 @@ class CrossAttnUpBlock2D(nn.Module):
     resnet_eps: float = 1e-5
     resnet_groups: int = 32
     use_linear_projection: bool = False
+    ip_num_tokens: Optional[int] = None
+    ip_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     has_cross_attention = True
@@ -216,6 +222,8 @@ class CrossAttnUpBlock2D(nn.Module):
                 cross_attention_dim=self.cross_attention_dim,
                 norm_num_groups=self.resnet_groups,
                 use_linear_projection=self.use_linear_projection,
+                ip_num_tokens=self.ip_num_tokens,
+                ip_scale=self.ip_scale,
                 dtype=self.dtype,
                 name=f"attentions_{i}",
             )(x, encoder_hidden_states=encoder_hidden_states)
@@ -245,6 +253,8 @@ class UNetMidBlock2DCrossAttn(nn.Module):
     resnet_eps: float = 1e-5
     resnet_groups: int = 32
     use_linear_projection: bool = False
+    ip_num_tokens: Optional[int] = None
+    ip_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     has_cross_attention = True
@@ -269,6 +279,8 @@ class UNetMidBlock2DCrossAttn(nn.Module):
                 cross_attention_dim=self.cross_attention_dim,
                 norm_num_groups=self.resnet_groups,
                 use_linear_projection=self.use_linear_projection,
+                ip_num_tokens=self.ip_num_tokens,
+                ip_scale=self.ip_scale,
                 dtype=self.dtype,
                 name=f"attentions_{i}",
             )(x, encoder_hidden_states=encoder_hidden_states)

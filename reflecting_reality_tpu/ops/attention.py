@@ -72,6 +72,14 @@ class Attention(nn.Module):
     residual_connection: bool = False
     norm_num_groups: Optional[int] = None  # VAE attention uses group_norm
     rescale_output_factor: float = 1.0
+    # IP-Adapter decoupled cross-attention (reference:
+    # examples/brushnet/ip_adapter/attention_processor.py:282-307
+    # IPAttnProcessor2_0): the LAST ip_num_tokens of encoder_hidden_states
+    # attend through separate to_k_ip/to_v_ip and are added with ip_scale.
+    # The reference default num_tokens=4 even though MirrorFusion appends a
+    # single normal token — kept verbatim for checkpoint parity.
+    ip_num_tokens: Optional[int] = None
+    ip_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -94,6 +102,11 @@ class Attention(nn.Module):
 
         context = encoder_hidden_states if encoder_hidden_states is not None else hidden_states
 
+        ip_context = None
+        if self.ip_num_tokens and encoder_hidden_states is not None:
+            end = context.shape[1] - self.ip_num_tokens
+            context, ip_context = context[:, :end], context[:, end:]
+
         dense = partial(nn.Dense, dtype=self.dtype, use_bias=False)
         q = dense(inner_dim, name="to_q")(hidden_states)
         k = dense(inner_dim, name="to_k")(context)
@@ -106,6 +119,15 @@ class Attention(nn.Module):
         v = v.reshape(bq, tk, self.heads, self.dim_head)
 
         out = dot_product_attention(q, k, v)
+
+        if ip_context is not None:
+            k_ip = dense(inner_dim, name="to_k_ip")(ip_context)
+            v_ip = dense(inner_dim, name="to_v_ip")(ip_context)
+            ti = ip_context.shape[1]
+            k_ip = k_ip.reshape(bq, ti, self.heads, self.dim_head)
+            v_ip = v_ip.reshape(bq, ti, self.heads, self.dim_head)
+            out = out + self.ip_scale * dot_product_attention(q, k_ip, v_ip)
+
         out = out.reshape(bq, tq, inner_dim)
         out = nn.Dense(self.query_dim, dtype=self.dtype, use_bias=self.out_bias, name="to_out_0")(out)
 

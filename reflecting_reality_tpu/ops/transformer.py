@@ -49,6 +49,8 @@ class BasicTransformerBlock(nn.Module):
     num_attention_heads: int
     attention_head_dim: int
     cross_attention_dim: Optional[int] = None
+    ip_num_tokens: Optional[int] = None    # IP-Adapter on attn2 only
+    ip_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -60,6 +62,8 @@ class BasicTransformerBlock(nn.Module):
             heads=self.num_attention_heads,
             dim_head=self.attention_head_dim,
             cross_attention_dim=self.cross_attention_dim if cross else None,
+            ip_num_tokens=self.ip_num_tokens if cross else None,
+            ip_scale=self.ip_scale,
             dtype=self.dtype,
             name=name,
         )
@@ -79,6 +83,8 @@ class Transformer2DModel(nn.Module):
     cross_attention_dim: Optional[int] = None
     norm_num_groups: int = 32
     use_linear_projection: bool = False
+    ip_num_tokens: Optional[int] = None
+    ip_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -103,6 +109,8 @@ class Transformer2DModel(nn.Module):
                 num_attention_heads=self.num_attention_heads,
                 attention_head_dim=self.attention_head_dim,
                 cross_attention_dim=self.cross_attention_dim,
+                ip_num_tokens=self.ip_num_tokens,
+                ip_scale=self.ip_scale,
                 dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
             )(x, encoder_hidden_states=encoder_hidden_states)

@@ -80,6 +80,51 @@ class StableDiffusionBrushNetPipeline:
         self.image_processor = ImageProcessor(vae_scale_factor=vae_scale_factor)
         self._jit_cache = {}
 
+    @classmethod
+    def from_pretrained(
+        cls,
+        base_path: str,
+        brushnet_path: str,
+        unet_path: Optional[str] = None,
+        depth_conditioning_mode: Optional[str] = None,
+        normals_conditioning_mode: Optional[str] = None,
+        dtype: jnp.dtype = jnp.float32,
+    ) -> "StableDiffusionBrushNetPipeline":
+        """Load from diffusers-layout checkpoints (reference test_brushnet.py:139-155:
+        base SD-1.5 folder with unet/vae/text_encoder/tokenizer subfolders, a
+        MirrorFusion brushnet folder, and optionally a fine-tuned unet folder)."""
+        import os
+
+        from reflecting_reality_tpu.core.io import load_pretrained
+        from reflecting_reality_tpu.data.tokenizer import CLIPTokenizer
+        from reflecting_reality_tpu.models.brushnet import BrushNetModel
+        from reflecting_reality_tpu.models.unet2d import UNet2DConditionModel
+        from reflecting_reality_tpu.models.vae import AutoencoderKL
+
+        vae = load_pretrained(AutoencoderKL, base_path, subfolder="vae", dtype=dtype)
+        unet = load_pretrained(
+            UNet2DConditionModel,
+            unet_path or base_path,
+            subfolder=None if unet_path else "unet",
+            dtype=dtype,
+        )
+        brushnet = load_pretrained(BrushNetModel, brushnet_path, dtype=dtype)
+
+        from reflecting_reality_tpu.models.clip_text import load_text_encoder
+
+        text_module, text_params = load_text_encoder(base_path, dtype=dtype)
+        tokenizer = CLIPTokenizer.from_pretrained(base_path, subfolder="tokenizer")
+        return cls(
+            vae=vae,
+            text_encoder=(text_module, text_params),
+            tokenizer=tokenizer,
+            unet=unet,
+            brushnet=brushnet,
+            depth_conditioning_mode=depth_conditioning_mode,
+            normals_conditioning_mode=normals_conditioning_mode,
+            dtype=dtype,
+        )
+
     # ------------------------------------------------------------------ text
 
     def encode_prompt(

@@ -1,0 +1,135 @@
+"""Checkpoint save/load in the reference folder layout (reference:
+train_brushnet_mirror.py:997-1069 save/load hooks and :1473-1498 pruning).
+
+Layout per step N:
+    checkpoint-N/
+        brushnet/{config.json, diffusion_pytorch_model.safetensors}
+        unet/...           (iff train_base_unet)
+        ema/brushnet/...   (iff use_ema; rebuild extra — reference keeps EMA
+                            only in accelerate's opaque state)
+        train_state.msgpack  (optimizer state + step, for exact resume)
+
+The model subfolders are written through core.io.save_pretrained, i.e. torch
+key naming + OIHW kernels, so the reference's `from_pretrained` can load our
+checkpoints directly (checkpoint-interop contract, SURVEY.md §5).
+
+`prune_checkpoints` implements checkpoints_total_limit LRU semantics;
+`latest_checkpoint` backs --resume_from_checkpoint=latest.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Iterable, Optional
+
+import flax.serialization
+import jax
+
+from reflecting_reality_tpu.core.io import save_pretrained
+
+_CKPT_RE = re.compile(r"^checkpoint-(\d+)$")
+
+
+def checkpoint_steps(output_dir: str):
+    if not os.path.isdir(output_dir):
+        return []
+    steps = []
+    for name in os.listdir(output_dir):
+        m = _CKPT_RE.match(name)
+        if m:
+            steps.append(int(m.group(1)))
+    return sorted(steps)
+
+
+def latest_checkpoint(output_dir: str) -> Optional[str]:
+    steps = checkpoint_steps(output_dir)
+    return os.path.join(output_dir, f"checkpoint-{steps[-1]}") if steps else None
+
+
+def prune_checkpoints(output_dir: str, total_limit: Optional[int],
+                      keep: Iterable[int] = ()) -> None:
+    """Remove oldest checkpoints beyond total_limit (reference :1475-1494).
+    Steps in `keep` (custom_checkpoints) are never pruned."""
+    if not total_limit:
+        return
+    steps = [s for s in checkpoint_steps(output_dir) if s not in set(keep)]
+    excess = len(steps) - (total_limit - 1)  # reference prunes BEFORE saving
+    for s in steps[:max(excess, 0)]:
+        shutil.rmtree(os.path.join(output_dir, f"checkpoint-{s}"), ignore_errors=True)
+
+
+def save_state(output_dir: str, step: int, state, brushnet_module, unet_module,
+               total_limit: Optional[int] = None, keep: Iterable[int] = ()) -> str:
+    prune_checkpoints(output_dir, total_limit, keep)
+    path = os.path.join(output_dir, f"checkpoint-{step}")
+    os.makedirs(path, exist_ok=True)
+
+    host_state = jax.device_get(state)
+    save_pretrained(brushnet_module, host_state.trainable["brushnet"]["params"],
+                    os.path.join(path, "brushnet"))
+    if "unet" in host_state.trainable:
+        save_pretrained(unet_module, host_state.trainable["unet"]["params"],
+                        os.path.join(path, "unet"))
+    if "normal_proj" in host_state.trainable:
+        # ip-adapter extras (reference writes ip_adapter/ip-adapter.bin,
+        # :1018-1027); the trained to_k_ip/to_v_ip live in unet/ above.
+        from reflecting_reality_tpu.core.io import flax_to_torch_state, save_safetensors
+
+        ip_dir = os.path.join(path, "ip_adapter")
+        os.makedirs(ip_dir, exist_ok=True)
+        save_safetensors(
+            flax_to_torch_state(host_state.trainable["normal_proj"]["params"]),
+            os.path.join(ip_dir, "normal_proj.safetensors"),
+        )
+    if host_state.ema is not None:
+        save_pretrained(brushnet_module, host_state.ema["brushnet"]["params"],
+                        os.path.join(path, "ema", "brushnet"))
+        if "unet" in host_state.ema:
+            save_pretrained(unet_module, host_state.ema["unet"]["params"],
+                            os.path.join(path, "ema", "unet"))
+
+    with open(os.path.join(path, "train_state.msgpack"), "wb") as f:
+        f.write(flax.serialization.to_bytes(
+            {"step": host_state.step, "opt_state": host_state.opt_state}
+        ))
+    return path
+
+
+def _load_params(path: str, subfolder: str) -> dict:
+    from reflecting_reality_tpu.core.io import WEIGHTS_NAME, load_safetensors, torch_to_flax_params
+
+    weights = load_safetensors(os.path.join(path, subfolder, WEIGHTS_NAME))
+    return {"params": torch_to_flax_params(weights)}
+
+
+def load_state(path: str, state):
+    """Restore a TrainState template from checkpoint-N (exact resume)."""
+    trainable = dict(state.trainable)
+    trainable["brushnet"] = _load_params(path, "brushnet")
+    if "unet" in trainable and os.path.isdir(os.path.join(path, "unet")):
+        trainable["unet"] = _load_params(path, "unet")
+    if "normal_proj" in trainable and os.path.isdir(os.path.join(path, "ip_adapter")):
+        from reflecting_reality_tpu.core.io import load_safetensors, torch_to_flax_params
+
+        w = load_safetensors(os.path.join(path, "ip_adapter", "normal_proj.safetensors"))
+        trainable["normal_proj"] = {"params": torch_to_flax_params(w)}
+
+    ema = state.ema
+    if ema is not None and os.path.isdir(os.path.join(path, "ema", "brushnet")):
+        ema = dict(ema)
+        ema["brushnet"] = _load_params(path, "ema/brushnet")
+        if "unet" in ema and os.path.isdir(os.path.join(path, "ema", "unet")):
+            ema["unet"] = _load_params(path, "ema/unet")
+
+    with open(os.path.join(path, "train_state.msgpack"), "rb") as f:
+        restored = flax.serialization.from_bytes(
+            {"step": jax.device_get(state.step),
+             "opt_state": jax.device_get(state.opt_state)},
+            f.read(),
+        )
+    return state.replace(
+        step=restored["step"], opt_state=restored["opt_state"],
+        trainable=trainable, ema=ema,
+    )

@@ -34,6 +34,9 @@ import jax.numpy as jnp
 import optax
 
 from reflecting_reality_tpu.schedulers.common import NoiseSchedule, add_noise, get_velocity, compute_snr
+from reflecting_reality_tpu.models.ip_adapter import (
+    NormalProjModel, freq_encode, is_ip_param_path,
+)
 from reflecting_reality_tpu.training.ema import ema_update
 from reflecting_reality_tpu.training.lr_schedules import get_schedule
 
@@ -80,7 +83,8 @@ def nearest_resize_nhwc(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return x[:, rows][:, :, cols]
 
 
-def make_optimizer(config: TrainConfig, data_parallel_size: int = 1):
+def make_optimizer(config: TrainConfig, data_parallel_size: int = 1,
+                   trainable_mask_fn=None):
     lr = config.learning_rate
     if config.scale_lr:
         # reference :1174-1177 multiplies by (grad_accum * batch * n_gpus);
@@ -90,12 +94,17 @@ def make_optimizer(config: TrainConfig, data_parallel_size: int = 1):
         config.lr_scheduler, lr, config.lr_warmup_steps, config.max_train_steps,
         num_cycles=config.lr_num_cycles, power=config.lr_power,
     )
+    adamw = optax.adamw(
+        schedule, b1=config.adam_beta1, b2=config.adam_beta2,
+        eps=config.adam_epsilon, weight_decay=config.adam_weight_decay,
+    )
+    if trainable_mask_fn is not None:
+        # partial freeze (ip_adapter mode): AdamW's weight decay would move
+        # zero-grad leaves, so route frozen leaves around the whole update.
+        adamw = optax.masked(adamw, trainable_mask_fn)
     tx = optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
-        optax.adamw(
-            schedule, b1=config.adam_beta1, b2=config.adam_beta2,
-            eps=config.adam_epsilon, weight_decay=config.adam_weight_decay,
-        ),
+        adamw,
     )
     return tx, schedule
 
@@ -145,15 +154,38 @@ def make_train_step(unet, brushnet, vae, text_encoder, config: TrainConfig,
         beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear",
         prediction_type=config.prediction_type,
     )
-    tx, _ = make_optimizer(config)
+    ip_mode = config.normals_conditioning_mode == "ip_adapter"
+    partial_freeze = ip_mode and not config.train_base_unet
 
-    def init_state(brushnet_params, unet_params, vae_params, text_params) -> TrainState:
+    def trainable_mask_fn(params):
+        def mask_unet(tree, path=()):
+            if isinstance(tree, dict):
+                return {k: mask_unet(v, path + (k,)) for k, v in tree.items()}
+            return is_ip_param_path(path)
+
+        return {
+            k: (mask_unet(v) if k == "unet"
+                else jax.tree_util.tree_map(lambda _: True, v))
+            for k, v in params.items()
+        }
+
+    tx, _ = make_optimizer(
+        config, trainable_mask_fn=trainable_mask_fn if partial_freeze else None
+    )
+
+    def init_state(brushnet_params, unet_params, vae_params, text_params,
+                   normal_proj_params=None) -> TrainState:
         trainable = {"brushnet": brushnet_params}
         frozen = {"vae": vae_params, "text": text_params}
-        if config.train_base_unet:
+        if config.train_base_unet or ip_mode:
+            # ip mode: unet lives in `trainable` so its to_k_ip/to_v_ip train;
+            # non-ip unet grads are masked out below unless train_base_unet.
             trainable["unet"] = unet_params
         else:
             frozen["unet"] = unet_params
+        if ip_mode:
+            assert normal_proj_params is not None, "ip_adapter mode needs NormalProjModel params"
+            trainable["normal_proj"] = normal_proj_params
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             trainable=trainable,
@@ -162,11 +194,24 @@ def make_train_step(unet, brushnet, vae, text_encoder, config: TrainConfig,
             ema=jax.tree_util.tree_map(jnp.asarray, trainable) if config.use_ema else None,
         )
 
+    def grad_mask(trainable):
+        """1/0 tree: zero the grads of frozen-base-unet leaves in ip mode
+        (reference trains brushnet + adapter modules only, :1192-1200)."""
+        def mask_unet(tree, path=()):
+            if isinstance(tree, dict):
+                return {k: mask_unet(v, path + (k,)) for k, v in tree.items()}
+            return 1.0 if (config.train_base_unet or is_ip_param_path(path)) else 0.0
+
+        return {
+            k: (mask_unet(v) if k == "unet" else jax.tree_util.tree_map(lambda _: 1.0, v))
+            for k, v in trainable.items()
+        }
+
     def loss_fn(trainable, frozen, batch, rng):
         unet_params = trainable.get("unet", frozen.get("unet"))
         r_cond, r_noise, r_t = jax.random.split(rng, 3)
 
-        latents, cond, _normal_vec = assemble_conditioning_latents(
+        latents, cond, normal_vec = assemble_conditioning_latents(
             vae, frozen["vae"], batch, r_cond, config, dtype
         )
         latents = jax.lax.stop_gradient(latents)
@@ -187,8 +232,16 @@ def make_train_step(unet, brushnet, vae, text_encoder, config: TrainConfig,
             trainable["brushnet"], noisy.astype(dtype), timesteps,
             ehs.astype(dtype), cond.astype(dtype),
         )
+        unet_ehs = ehs
+        if ip_mode:
+            # normal token appended AFTER the text tokens, unet-only
+            # (brushnet sees plain text; reference MirrorFusionModel :858-888)
+            tok = NormalProjModel(unet.cross_attention_dim, dtype=dtype).apply(
+                trainable["normal_proj"], freq_encode(normal_vec.astype(jnp.float32))
+            )
+            unet_ehs = jnp.concatenate([ehs, tok.astype(ehs.dtype)], axis=1)
         pred = unet.apply(
-            unet_params, noisy.astype(dtype), timesteps, ehs.astype(dtype),
+            unet_params, noisy.astype(dtype), timesteps, unet_ehs.astype(dtype),
             down_block_add_samples=down, mid_block_add_sample=mid,
             up_block_add_samples=up,
         )
@@ -217,6 +270,10 @@ def make_train_step(unet, brushnet, vae, text_encoder, config: TrainConfig,
         loss, grads = jax.value_and_grad(loss_fn)(
             state.trainable, state.frozen, batch, rng
         )
+        if partial_freeze:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: g * m, grads, grad_mask(state.trainable)
+            )
         updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)
         ema = state.ema

@@ -1,0 +1,104 @@
+"""End-to-end CLI integration: tiny SD checkpoint -> train 2 steps w/
+checkpointing + resume -> inference driver -> grid sheets on disk.
+
+This is the full reference user journey (train_brushnet_mirror.py ->
+test_brushnet.py) on miniature models."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.tiny_checkpoint import make_synmirror_data, make_tiny_sd_checkpoint
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    pytest.importorskip("h5py")
+    base = tmp_path_factory.mktemp("sd_tiny")
+    data = tmp_path_factory.mktemp("data")
+    make_tiny_sd_checkpoint(str(base))
+    # 8 virtual devices x train_batch_size 1 -> need >= 8 samples
+    make_synmirror_data(str(data), n=8, size=64)
+    return str(base), str(data)
+
+
+@pytest.mark.integration
+class TestCLIJourney:
+    def test_train_checkpoint_resume_infer(self, env, tmp_path):
+        base, data = env
+        out = str(tmp_path / "run")
+
+        from reflecting_reality_tpu.cli import train as train_cli
+
+        argv = [
+            "--pretrained_model_name_or_path", base,
+            "--train_data_dir", data,
+            "--output_dir", out,
+            "--resolution", "64",
+            "--train_batch_size", "1",
+            "--max_train_steps", "2",
+            "--checkpointing_steps", "1",
+            "--checkpoints_total_limit", "2",
+            "--learning_rate", "1e-4",
+            "--lr_warmup_steps", "0",
+            "--depth_conditioning_mode", "concat",
+            "--dataloader_num_workers", "2",
+            "--report_to", "none",
+            "--logging_dir", os.path.join(out, "logs"),
+            "--validation_steps", "0",
+            "--seed", "0",
+            "--log_every", "1",
+        ]
+        train_cli.main(argv)
+
+        ckpt2 = os.path.join(out, "checkpoint-2")
+        assert os.path.isdir(os.path.join(ckpt2, "brushnet"))
+        assert os.path.exists(
+            os.path.join(ckpt2, "brushnet", "diffusion_pytorch_model.safetensors")
+        )
+        assert os.path.exists(os.path.join(ckpt2, "brushnet", "config.json"))
+        assert os.path.exists(os.path.join(ckpt2, "train_state.msgpack"))
+        # metrics jsonl written
+        assert os.path.getsize(os.path.join(out, "logs", "metrics.jsonl")) > 0
+
+        # resume two more steps from latest
+        train_cli.main(argv + ["--resume_from_checkpoint", "latest",
+                               "--max_train_steps", "3"])
+        assert os.path.isdir(os.path.join(out, "checkpoint-3"))
+
+        # inference over the trained checkpoint
+        from reflecting_reality_tpu.cli import test as test_cli
+
+        infer_out = str(tmp_path / "infer")
+        test_cli.main([
+            "--brushnet_path", ckpt2,
+            "--base_model_path", base,
+            "--train_data_dir", data,
+            "--output_dir", infer_out,
+            "--resolution", "64",
+            "--num_inference_steps", "2",
+            "--num_images_per_validation", "4",
+            "--depth_conditioning_mode", "concat",
+            "--seed", "0",
+        ])
+        from PIL import Image
+
+        sheets = sorted(os.listdir(infer_out))
+        assert sheets == [f"uid{i}_{i}.png" for i in range(8)]
+        img = Image.open(os.path.join(infer_out, sheets[0]))
+        assert img.size == (128, 128)  # 2x2 grid of 64x64
+
+        # idempotent restart: second run must not rewrite
+        mtimes = {s: os.path.getmtime(os.path.join(infer_out, s)) for s in sheets}
+        test_cli.main([
+            "--brushnet_path", ckpt2,
+            "--base_model_path", base,
+            "--train_data_dir", data,
+            "--output_dir", infer_out,
+            "--resolution", "64",
+            "--num_inference_steps", "2",
+            "--depth_conditioning_mode", "concat",
+        ])
+        for s in sheets:
+            assert os.path.getmtime(os.path.join(infer_out, s)) == mtimes[s]
