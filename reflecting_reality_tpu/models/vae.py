@@ -148,6 +148,11 @@ class Encoder(nn.Module):
 
 
 class Decoder(nn.Module):
+    """Split into `head` (conv_in + mid block, contains the GLOBAL attention)
+    and `tail` (conv-only up blocks + norm/conv_out, finite receptive field)
+    so parallel.sharded_vae can spatially shard the tail across a mesh while
+    computing the head replicated at latent resolution."""
+
     block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
     layers_per_block: int = 2
     latent_channels: int = 4
@@ -155,31 +160,47 @@ class Decoder(nn.Module):
     norm_num_groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, z):
+    def setup(self):
         reversed_bocs = list(reversed(self.block_out_channels))
-        x = nn.Conv(
-            reversed_bocs[0], (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_in"
-        )(z)
-        x = _MidBlock(reversed_bocs[0], norm_num_groups=self.norm_num_groups, dtype=self.dtype, name="mid_block")(x)
+        self.conv_in = nn.Conv(
+            reversed_bocs[0], (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype
+        )
+        self.mid_block = _MidBlock(
+            reversed_bocs[0], norm_num_groups=self.norm_num_groups, dtype=self.dtype
+        )
+        blocks = []
         output_channel = reversed_bocs[0]
         for i in range(len(reversed_bocs)):
             prev = output_channel
             output_channel = reversed_bocs[i]
-            x = _UpDecoderBlock(
-                in_channels=prev,
-                out_channels=output_channel,
-                num_layers=self.layers_per_block + 1,
-                add_upsample=i < len(reversed_bocs) - 1,
-                norm_num_groups=self.norm_num_groups,
-                dtype=self.dtype,
-                name=f"up_blocks_{i}",
-            )(x)
-        x = GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6, name="conv_norm_out")(x, apply_silu=True)
-        x = nn.Conv(
-            self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_out"
-        )(x)
-        return x
+            blocks.append(
+                _UpDecoderBlock(
+                    in_channels=prev,
+                    out_channels=output_channel,
+                    num_layers=self.layers_per_block + 1,
+                    add_upsample=i < len(reversed_bocs) - 1,
+                    norm_num_groups=self.norm_num_groups,
+                    dtype=self.dtype,
+                    name=f"up_blocks_{i}",
+                )
+            )
+        self.up_blocks_list = blocks
+        self.conv_norm_out = GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6)
+        self.conv_out = nn.Conv(
+            self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype
+        )
+
+    def head(self, z):
+        return self.mid_block(self.conv_in(z))
+
+    def tail(self, x):
+        for block in self.up_blocks_list:
+            x = block(x)
+        x = self.conv_norm_out(x, apply_silu=True)
+        return self.conv_out(x)
+
+    def __call__(self, z):
+        return self.tail(self.head(z))
 
 
 class AutoencoderKL(nn.Module, ConfigMixin):

@@ -79,6 +79,7 @@ class StableDiffusionBrushNetPipeline:
         self.dtype = dtype
         self.image_processor = ImageProcessor(vae_scale_factor=vae_scale_factor)
         self._jit_cache = {}
+        self._vae_tiling = None  # (num_tiles, overlap) when enabled
 
     @classmethod
     def from_pretrained(
@@ -124,6 +125,17 @@ class StableDiffusionBrushNetPipeline:
             normals_conditioning_mode=normals_conditioning_mode,
             dtype=dtype,
         )
+
+    def enable_vae_tiling(self, num_tiles: int = 4, overlap: int = 8) -> None:
+        """Tiled VAE decode for high-res (1024²+) outputs — bounds decoder
+        peak memory like diffusers' enable_vae_tiling; see
+        parallel.sharded_vae for the scheme and its approximation bounds."""
+        self._vae_tiling = (num_tiles, overlap)
+        self._jit_cache.clear()
+
+    def disable_vae_tiling(self) -> None:
+        self._vae_tiling = None
+        self._jit_cache.clear()
 
     # ------------------------------------------------------------------ text
 
@@ -192,6 +204,7 @@ class StableDiffusionBrushNetPipeline:
         unet_apply = self.unet_module.apply
         brushnet_apply = self.brushnet_module.apply
         vae_module = self.vae_module
+        vae_tiling = self._vae_tiling
 
         def denoise_and_decode(unet_params, brushnet_params, vae_params,
                                latents, cond_latents, prompt_embeds, keep_scales):
@@ -261,10 +274,17 @@ class StableDiffusionBrushNetPipeline:
                 xs = (timesteps, prev_ts, keep_scales["cond_scale"])
                 latents, _ = jax.lax.scan(body, latents, xs)
 
-            image = vae_module.apply(
-                vae_params, (latents / self.scaling_factor).astype(self.dtype),
-                method=vae_module.decode,
-            )
+            z = (latents / self.scaling_factor).astype(self.dtype)
+            if vae_tiling is not None:
+                from reflecting_reality_tpu.parallel.sharded_vae import tiled_decode
+
+                image = tiled_decode(
+                    vae_module, vae_params, z,
+                    num_tiles=vae_tiling[0], overlap=vae_tiling[1],
+                    scale=self.vae_scale_factor,
+                )
+            else:
+                image = vae_module.apply(vae_params, z, method=vae_module.decode)
             return image.astype(jnp.float32)
 
         fn = jax.jit(denoise_and_decode)
