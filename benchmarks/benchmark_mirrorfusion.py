@@ -1,0 +1,167 @@
+"""Benchmark harness (reference: MirrorFusion/benchmarks/benchmark_sd_inpainting.py
++ benchmarks/utils.py:52 — latency/memory rows appended to a CSV).
+
+Measures the BASELINE.md tracked configs on the current device:
+  1. 512², 50-step denoise loop, CFG bs=1 image (the headline metric)
+  2. batched CFG inference bs=8, bf16, 512²
+  3. 1024² denoise step + tiled VAE decode (flash attention mandatory)
+
+Relay-aware timing: jitted chained loops at two iteration counts, difference
+divided (see .claude/skills/verify/SKILL.md).  Rows:
+    benchmark,resolution,batch,dtype,steps_per_sec,images_per_sec,notes
+
+Usage: python benchmarks/benchmark_mirrorfusion.py [--out benchmarks/results.csv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reflecting_reality_tpu.models.brushnet import BrushNetModel
+from reflecting_reality_tpu.models.unet2d import UNet2DConditionModel
+from reflecting_reality_tpu.models.vae import AutoencoderKL
+from reflecting_reality_tpu.ops.attention import set_attention_backend
+from reflecting_reality_tpu.parallel.sharded_vae import tiled_decode
+from reflecting_reality_tpu.schedulers.common import NoiseSchedule
+from reflecting_reality_tpu.schedulers.unipc import UniPCSampler
+
+
+def timed(fn, args, reps=3):
+    r = fn(*args)
+    jax.tree_util.tree_map(np.asarray, r)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        r = fn(*args)
+        jax.tree_util.tree_map(np.asarray, r)
+        best = min(best, time.time() - t0)
+    return best
+
+
+def build_models(dtype):
+    unet = UNet2DConditionModel(dtype=dtype)
+    brushnet = BrushNetModel(conditioning_channels=6, dtype=dtype)
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, 64, 64, 4), dtype)
+    t = jnp.zeros((1,), jnp.int32)
+    ehs = jnp.zeros((1, 77, 768), dtype)
+    cond = jnp.zeros((1, 64, 64, 6), dtype)
+    uparams = jax.jit(unet.init)(rng, sample, t, ehs)
+    bparams = jax.jit(brushnet.init)(jax.random.PRNGKey(1), sample, t, ehs, cond)
+    return unet, uparams, brushnet, bparams
+
+
+def make_denoise(unet, brushnet, steps, batch, latent, dtype):
+    schedule = NoiseSchedule.create(
+        num_train_timesteps=1000, beta_start=0.00085, beta_end=0.012,
+        beta_schedule="scaled_linear",
+    )
+    sampler = UniPCSampler(schedule, steps)
+    timesteps = sampler.timesteps
+    guidance = jnp.float32(7.5)
+
+    def denoise(uparams, bparams, latents, cond, embeds):
+        state0 = sampler.init_state(latents)
+
+        def body(carry, xs):
+            latents, state = carry
+            i, t = xs
+            latent_in = jnp.concatenate([latents, latents], axis=0)
+            down, mid, up = brushnet.apply(
+                bparams, latent_in.astype(dtype), t, embeds.astype(dtype),
+                jnp.concatenate([cond, cond], 0).astype(dtype),
+            )
+            pred = unet.apply(
+                uparams, latent_in.astype(dtype), t, embeds.astype(dtype),
+                down_block_add_samples=down, mid_block_add_sample=mid,
+                up_block_add_samples=up,
+            )
+            uncond, text = jnp.split(pred, 2, axis=0)
+            pred = uncond + guidance * (text - uncond)
+            latents, state = sampler.step(pred, i, latents, state)
+            return (latents, state), None
+
+        (latents, _), _ = jax.lax.scan(
+            body, (latents, state0), (jnp.arange(steps), timesteps)
+        )
+        return latents
+
+    return jax.jit(denoise)
+
+
+def denoise_inputs(batch, latent, dtype):
+    latents = jax.random.normal(jax.random.PRNGKey(2), (batch, latent, latent, 4), jnp.float32)
+    cond = jax.random.normal(jax.random.PRNGKey(3), (batch, latent, latent, 6), jnp.float32)
+    embeds = jax.random.normal(jax.random.PRNGKey(4), (2 * batch, 77, 768), jnp.float32)
+    return latents, cond, embeds
+
+
+def bench_denoise(unet, uparams, brushnet, bparams, batch, latent, dtype,
+                  n1=10, n2=50):
+    f1 = make_denoise(unet, brushnet, n1, batch, latent, dtype)
+    f2 = make_denoise(unet, brushnet, n2, batch, latent, dtype)
+    args = (uparams, bparams) + denoise_inputs(batch, latent, dtype)
+    t1, t2 = timed(f1, args), timed(f2, args)
+    per_step = (t2 - t1) / (n2 - n1)
+    return 1.0 / per_step
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "results.csv"))
+    ap.add_argument("--skip_1024", action="store_true")
+    args = ap.parse_args()
+
+    set_attention_backend("flash")
+    dtype = jnp.bfloat16
+    unet, uparams, brushnet, bparams = build_models(dtype)
+
+    rows = []
+
+    sps = bench_denoise(unet, uparams, brushnet, bparams, 1, 64, dtype)
+    rows.append(["denoise_512", 512, 1, "bf16", round(sps, 2),
+                 round(sps / 50, 3), "headline; CFG batch 2; 50-step basis"])
+
+    sps8 = bench_denoise(unet, uparams, brushnet, bparams, 8, 64, dtype)
+    rows.append(["denoise_512_bs8", 512, 8, "bf16", round(sps8, 2),
+                 round(8 * sps8 / 50, 3), "batched CFG (16 through models)"])
+
+    if not args.skip_1024:
+        sps_hr = bench_denoise(unet, uparams, brushnet, bparams, 1, 128, dtype,
+                               n1=4, n2=12)
+        # tiled VAE decode at 1024²
+        vae = AutoencoderKL(dtype=dtype)
+        vparams = jax.jit(vae.init)(
+            jax.random.PRNGKey(5), jnp.zeros((1, 256, 256, 3), dtype), jax.random.PRNGKey(6)
+        )
+        z = jax.random.normal(jax.random.PRNGKey(7), (1, 128, 128, 4), dtype)
+        dec = jax.jit(lambda p, z: tiled_decode(vae, p, z, num_tiles=4, overlap=8))
+        t_dec = timed(dec, (vparams, z))
+        rows.append(["denoise_1024", 1024, 1, "bf16", round(sps_hr, 2),
+                     round(sps_hr / 50, 3),
+                     f"flash attn @16384 tokens; tiled decode {t_dec:.2f}s incl. relay"])
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    new = not os.path.exists(args.out)
+    with open(args.out, "a", newline="") as f:
+        w = csv.writer(f)
+        if new:
+            w.writerow(["benchmark", "resolution", "batch", "dtype",
+                        "steps_per_sec", "images_per_sec", "notes"])
+        w.writerows(rows)
+    for r in rows:
+        print(",".join(str(x) for x in r))
+
+
+if __name__ == "__main__":
+    main()
