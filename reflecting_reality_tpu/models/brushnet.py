@@ -57,6 +57,10 @@ class BrushNetModel(nn.Module, ConfigMixin):
     use_linear_projection: bool = False
     flip_sin_to_cos: bool = True
     freq_shift: int = 0
+    # SDXL variant (cloned from the SDXL unet config by config_from_unet)
+    addition_embed_type: Optional[str] = None
+    addition_time_embed_dim: int = 256
+    projection_class_embeddings_input_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     def _heads(self) -> Tuple[int, ...]:
@@ -72,6 +76,7 @@ class BrushNetModel(nn.Module, ConfigMixin):
         brushnet_cond: jnp.ndarray,     # (B, H, W, conditioning_channels)
         conditioning_scale: float | jnp.ndarray = 1.0,
         guess_mode: bool = False,
+        added_cond_kwargs: Optional[dict] = None,
     ) -> Tuple[List[jnp.ndarray], jnp.ndarray, List[jnp.ndarray]]:
         heads = self._heads()
         bocs = self.block_out_channels
@@ -85,6 +90,20 @@ class BrushNetModel(nn.Module, ConfigMixin):
             downscale_freq_shift=self.freq_shift,
         ).astype(sample.dtype)
         emb = TimestepEmbedding(bocs[0] * 4, dtype=self.dtype, name="time_embedding")(t_emb)
+
+        if self.addition_embed_type == "text_time":
+            assert added_cond_kwargs is not None, "text_time needs added_cond_kwargs"
+            text_embeds = added_cond_kwargs["text_embeds"]
+            time_ids = added_cond_kwargs["time_ids"]
+            t_ids = get_timestep_embedding(
+                time_ids.reshape(-1), self.addition_time_embed_dim,
+                flip_sin_to_cos=self.flip_sin_to_cos,
+                downscale_freq_shift=self.freq_shift,
+            ).reshape(text_embeds.shape[0], -1)
+            aug = jnp.concatenate([text_embeds.astype(jnp.float32), t_ids], axis=-1)
+            emb = emb + TimestepEmbedding(
+                bocs[0] * 4, dtype=self.dtype, name="add_embedding"
+            )(aug.astype(sample.dtype))
 
         # 2. pre-process: concat(noisy latents, conditioning) -> conv_in_condition
         x = jnp.concatenate([sample, brushnet_cond], axis=-1)
@@ -227,6 +246,11 @@ class BrushNetModel(nn.Module, ConfigMixin):
             use_linear_projection=cfg.get("use_linear_projection", False),
             flip_sin_to_cos=cfg.get("flip_sin_to_cos", True),
             freq_shift=cfg.get("freq_shift", 0),
+            addition_embed_type=cfg.get("addition_embed_type"),
+            addition_time_embed_dim=cfg.get("addition_time_embed_dim", 256),
+            projection_class_embeddings_input_dim=cfg.get(
+                "projection_class_embeddings_input_dim"
+            ),
         )
 
 

@@ -85,9 +85,9 @@ class CLIPTextModel(nn.Module, ConfigMixin):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, input_ids: jnp.ndarray, output_hidden_states: bool = False):
         # Explicit nesting matches torch checkpoint paths text_model.embeddings.*
-        x = _TextModel(
+        return _TextModel(
             vocab_size=self.vocab_size,
             hidden_size=self.hidden_size,
             num_hidden_layers=self.num_hidden_layers,
@@ -96,8 +96,45 @@ class CLIPTextModel(nn.Module, ConfigMixin):
             max_position_embeddings=self.max_position_embeddings,
             dtype=self.dtype,
             name="text_model",
-        )(input_ids)
-        return x
+        )(input_ids, output_hidden_states=output_hidden_states)
+
+
+class CLIPTextModelWithProjection(nn.Module, ConfigMixin):
+    """CLIP text tower + text_projection (SDXL's second encoder,
+    laion/CLIP-ViT-bigG: pooled output = projected EOS-token hidden state).
+    Param layout matches transformers (text_model.* + text_projection)."""
+
+    vocab_size: int = 49408
+    hidden_size: int = 1280
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 20
+    intermediate_size: int = 5120
+    max_position_embeddings: int = 77
+    projection_dim: int = 1280
+    eos_token_id: int = 49407
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray, output_hidden_states: bool = False):
+        out = _TextModel(
+            vocab_size=self.vocab_size,
+            hidden_size=self.hidden_size,
+            num_hidden_layers=self.num_hidden_layers,
+            num_attention_heads=self.num_attention_heads,
+            intermediate_size=self.intermediate_size,
+            max_position_embeddings=self.max_position_embeddings,
+            dtype=self.dtype,
+            name="text_model",
+        )(input_ids, output_hidden_states=output_hidden_states)
+        last, hidden_states = out if output_hidden_states else (out, None)
+        # pooled = hidden state at the (first) EOS position
+        eos_pos = jnp.argmax((input_ids == self.eos_token_id).astype(jnp.int32), axis=1)
+        pooled = last[jnp.arange(last.shape[0]), eos_pos]
+        pooled = nn.Dense(self.projection_dim, use_bias=False, dtype=self.dtype,
+                          name="text_projection")(pooled)
+        if output_hidden_states:
+            return last, pooled, hidden_states
+        return last, pooled
 
 
 class _Embeddings(nn.Module):
@@ -126,12 +163,17 @@ class _Encoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, causal_mask: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, causal_mask: jnp.ndarray,
+                 output_hidden_states: bool = False):
+        hidden_states = [x]
         for i in range(self.num_hidden_layers):
             x = _CLIPLayer(
                 self.hidden_size, self.num_attention_heads, self.intermediate_size,
                 dtype=self.dtype, name=f"layers_{i}",
             )(x, causal_mask)
+            hidden_states.append(x)
+        if output_hidden_states:
+            return x, hidden_states
         return x
 
 
@@ -145,19 +187,25 @@ class _TextModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, input_ids: jnp.ndarray, output_hidden_states: bool = False):
         t = input_ids.shape[1]
         x = _Embeddings(
             self.vocab_size, self.hidden_size, self.max_position_embeddings,
             dtype=self.dtype, name="embeddings",
         )(input_ids)
         causal_mask = jnp.triu(jnp.full((t, t), -jnp.inf, dtype=jnp.float32), k=1)[None, None]
-        x = _Encoder(
+        enc = _Encoder(
             self.hidden_size, self.num_hidden_layers, self.num_attention_heads,
             self.intermediate_size, dtype=self.dtype, name="encoder",
-        )(x, causal_mask)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_layer_norm")(x)
-        return x
+        )
+        if output_hidden_states:
+            x, hidden_states = enc(x, causal_mask, output_hidden_states=True)
+        else:
+            x = enc(x, causal_mask)
+        last = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_layer_norm")(x)
+        if output_hidden_states:
+            return last, hidden_states
+        return last
 
 
 def load_text_encoder(base_path: str, subfolder: str = "text_encoder",

@@ -35,7 +35,8 @@ class UNet2DConditionModel(nn.Module, ConfigMixin):
     )
     block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
     layers_per_block: int = 2
-    transformer_layers_per_block: int = 1
+    # int or per-block tuple (SDXL: (1, 2, 10))
+    transformer_layers_per_block: int | Tuple[int, ...] = 1
     downsample_padding: int = 1
     norm_num_groups: int = 32
     norm_eps: float = 1e-5
@@ -49,7 +50,17 @@ class UNet2DConditionModel(nn.Module, ConfigMixin):
     # decoupled image/normal tokens (reference train_brushnet_mirror.py:1085-1123).
     ip_num_tokens: Optional[int] = None
     ip_scale: float = 1.0
+    # SDXL micro-conditioning: addition_embed_type="text_time" adds
+    # TimestepEmbedding(concat(pooled text embeds, sin(time_ids))) to temb
+    # (reference unet_2d_condition.py addition_embed_type handling).
+    addition_embed_type: Optional[str] = None
+    addition_time_embed_dim: int = 256
+    projection_class_embeddings_input_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
+
+    def _tlayers(self) -> Tuple[int, ...]:
+        t = self.transformer_layers_per_block
+        return tuple(t) if isinstance(t, (tuple, list)) else (t,) * len(self.block_out_channels)
 
     def _heads(self) -> Tuple[int, ...]:
         # diffusers' historical naming bug: SD-1.5's `attention_head_dim=8`
@@ -66,8 +77,10 @@ class UNet2DConditionModel(nn.Module, ConfigMixin):
         down_block_add_samples: Optional[Sequence[jnp.ndarray]] = None,
         mid_block_add_sample: Optional[jnp.ndarray] = None,
         up_block_add_samples: Optional[Sequence[jnp.ndarray]] = None,
+        added_cond_kwargs: Optional[dict] = None,
     ) -> jnp.ndarray:
         heads = self._heads()
+        tlayers = self._tlayers()
         bocs = self.block_out_channels
         is_brushnet = down_block_add_samples is not None
 
@@ -80,6 +93,20 @@ class UNet2DConditionModel(nn.Module, ConfigMixin):
             downscale_freq_shift=self.freq_shift,
         ).astype(sample.dtype)
         emb = TimestepEmbedding(bocs[0] * 4, dtype=self.dtype, name="time_embedding")(t_emb)
+
+        if self.addition_embed_type == "text_time":
+            assert added_cond_kwargs is not None, "text_time needs added_cond_kwargs"
+            text_embeds = added_cond_kwargs["text_embeds"]     # (B, pooled_dim)
+            time_ids = added_cond_kwargs["time_ids"]           # (B, 6)
+            t_ids = get_timestep_embedding(
+                time_ids.reshape(-1), self.addition_time_embed_dim,
+                flip_sin_to_cos=self.flip_sin_to_cos,
+                downscale_freq_shift=self.freq_shift,
+            ).reshape(text_embeds.shape[0], -1)
+            aug = jnp.concatenate([text_embeds.astype(jnp.float32), t_ids], axis=-1)
+            emb = emb + TimestepEmbedding(
+                bocs[0] * 4, dtype=self.dtype, name="add_embedding"
+            )(aug.astype(sample.dtype))
 
         # 2. pre-process
         sample = nn.Conv(
@@ -109,7 +136,7 @@ class UNet2DConditionModel(nn.Module, ConfigMixin):
             )
             if block_cls.has_cross_attention:
                 kwargs.update(
-                    transformer_layers_per_block=self.transformer_layers_per_block,
+                    transformer_layers_per_block=tlayers[i],
                     num_attention_heads=heads[i],
                     cross_attention_dim=self.cross_attention_dim,
                     use_linear_projection=self.use_linear_projection,
@@ -131,7 +158,7 @@ class UNet2DConditionModel(nn.Module, ConfigMixin):
         )
         if mid_cls.has_cross_attention:
             mid_kwargs.update(
-                transformer_layers_per_block=self.transformer_layers_per_block,
+                transformer_layers_per_block=tlayers[-1],
                 num_attention_heads=heads[-1],
                 cross_attention_dim=self.cross_attention_dim,
                 use_linear_projection=self.use_linear_projection,
@@ -175,7 +202,7 @@ class UNet2DConditionModel(nn.Module, ConfigMixin):
             )
             if block_cls.has_cross_attention:
                 kwargs.update(
-                    transformer_layers_per_block=self.transformer_layers_per_block,
+                    transformer_layers_per_block=list(reversed(tlayers))[i],
                     num_attention_heads=reversed_heads[i],
                     cross_attention_dim=self.cross_attention_dim,
                     use_linear_projection=self.use_linear_projection,

@@ -1,0 +1,272 @@
+"""StableDiffusionXLBrushNetPipeline, TPU-native (reference:
+src/diffusers/pipelines/brushnet/pipeline_brushnet_sd_xl.py — present in the
+reference but unused by the MirrorFusion scripts; rebuilt for inventory
+parity).
+
+SDXL deltas vs the SD-1.5 pipeline (same jitted-scan architecture):
+- dual text encoders: prompt_embeds = concat(encoder1.hidden[-2],
+  encoder2.hidden[-2]) (768+1280=2048); pooled projection from encoder 2.
+- micro-conditioning: add_time_ids = (orig_h, orig_w, crop_top, crop_left,
+  target_h, target_w) fed with the pooled embeds through the unet's
+  text_time addition embedding (added_cond_kwargs).
+- vae scaling_factor 0.13025; default resolution 1024 (use
+  enable_vae_tiling for decode memory).
+Conditioning-latent assembly (masked latents + mask + depth/normals modes)
+and brushnet_keep windowing are identical to the SD-1.5 pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reflecting_reality_tpu.pipelines.brushnet_pipeline import StableDiffusionBrushNetPipeline
+from reflecting_reality_tpu.schedulers.common import NoiseSchedule, ddim_timesteps
+from reflecting_reality_tpu.schedulers.ddim import ddim_step
+from reflecting_reality_tpu.schedulers.unipc import UniPCSampler
+
+
+class StableDiffusionXLBrushNetPipeline(StableDiffusionBrushNetPipeline):
+    def __init__(
+        self,
+        vae,
+        text_encoder,            # (CLIPTextModel, params) — OpenAI CLIP-L
+        text_encoder_2,          # (CLIPTextModelWithProjection, params) — bigG
+        tokenizer,
+        tokenizer_2,
+        unet,
+        brushnet,
+        schedule: Optional[NoiseSchedule] = None,
+        depth_conditioning_mode: Optional[str] = None,
+        normals_conditioning_mode: Optional[str] = None,
+        vae_scale_factor: int = 8,
+        scaling_factor: float = 0.13025,
+        dtype: jnp.dtype = jnp.float32,
+    ):
+        super().__init__(
+            vae=vae, text_encoder=text_encoder, tokenizer=tokenizer,
+            unet=unet, brushnet=brushnet, schedule=schedule,
+            depth_conditioning_mode=depth_conditioning_mode,
+            normals_conditioning_mode=normals_conditioning_mode,
+            vae_scale_factor=vae_scale_factor, scaling_factor=scaling_factor,
+            dtype=dtype,
+        )
+        self.text_module_2, self.text_params_2 = text_encoder_2
+        self.tokenizer_2 = tokenizer_2
+
+    # -------------------------------------------------------------- prompts
+
+    @functools.cached_property
+    def _text_apply_hidden(self):
+        return jax.jit(lambda p, ids: self.text_module.apply(
+            p, ids, output_hidden_states=True))
+
+    @functools.cached_property
+    def _text2_apply_hidden(self):
+        return jax.jit(lambda p, ids: self.text_module_2.apply(
+            p, ids, output_hidden_states=True))
+
+    def encode_prompt_xl(
+        self,
+        prompt: Union[str, Sequence[str]],
+        negative_prompt: Union[str, Sequence[str], None] = None,
+        do_classifier_free_guidance: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """-> (prompt_embeds (2B,T,2048), pooled (2B,1280)); CFG layout
+        [negative..., positive...] (reference sdxl encode_prompt)."""
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        negatives = (
+            [""] * len(prompts) if negative_prompt is None
+            else ([negative_prompt] * len(prompts) if isinstance(negative_prompt, str)
+                  else list(negative_prompt))
+        )
+
+        def encode(texts):
+            ids1 = jnp.asarray(self.tokenizer(texts), jnp.int32)
+            ids2 = jnp.asarray(self.tokenizer_2(texts), jnp.int32)
+            _, h1 = self._text_apply_hidden(self.text_params, ids1)
+            _, pooled, h2 = self._text2_apply_hidden(self.text_params_2, ids2)
+            # penultimate hidden states (clip-skip fixed at 2 for SDXL)
+            emb = jnp.concatenate([h1[-2], h2[-2]], axis=-1)
+            return emb, pooled
+
+        pos, pos_pool = encode(prompts)
+        if not do_classifier_free_guidance:
+            return pos, pos_pool
+        neg, neg_pool = encode(negatives)
+        return (jnp.concatenate([neg, pos], 0),
+                jnp.concatenate([neg_pool, pos_pool], 0))
+
+    # --------------------------------------------------------------- sampler
+
+    def _get_sampler_fn(self, key):
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        (b, hl, wl, cl), steps, scheduler_name, do_cfg, guess_mode = key
+        assert not guess_mode, "guess_mode is handled by the SD-1.5 path only"
+
+        if scheduler_name == "unipc":
+            sampler = UniPCSampler(self.schedule, steps)
+            timesteps = sampler.timesteps
+        elif scheduler_name == "ddim":
+            timesteps = jnp.asarray(
+                ddim_timesteps(self.schedule.num_train_timesteps, steps), jnp.int32
+            )
+            sampler = None
+        else:
+            raise ValueError(scheduler_name)
+
+        unet_apply = self.unet_module.apply
+        brushnet_apply = self.brushnet_module.apply
+        vae_module = self.vae_module
+        vae_tiling = self._vae_tiling
+
+        def run(unet_params, brushnet_params, vae_params, latents, cond,
+                prompt_embeds, added, keep):
+            cond_b = jnp.concatenate([cond, cond], 0) if do_cfg else cond
+
+            def model_eval(latents, t, cond_scale):
+                latent_in = jnp.concatenate([latents, latents], 0) if do_cfg else latents
+                down, mid, up = brushnet_apply(
+                    brushnet_params, latent_in.astype(self.dtype), t,
+                    prompt_embeds.astype(self.dtype), cond_b.astype(self.dtype),
+                    conditioning_scale=cond_scale,
+                    added_cond_kwargs=added,
+                )
+                pred = unet_apply(
+                    unet_params, latent_in.astype(self.dtype), t,
+                    prompt_embeds.astype(self.dtype),
+                    down_block_add_samples=down, mid_block_add_sample=mid,
+                    up_block_add_samples=up,
+                    added_cond_kwargs=added,
+                )
+                if do_cfg:
+                    u, c = jnp.split(pred, 2, 0)
+                    pred = u + keep["guidance_scale"] * (c - u)
+                return pred
+
+            if scheduler_name == "unipc":
+                state0 = sampler.init_state(latents)
+
+                def body(carry, xs):
+                    lat, st = carry
+                    i, t, k = xs
+                    lat, st = sampler.step(model_eval(lat, t, k), i, lat, st)
+                    return (lat, st), None
+
+                (latents, _), _ = jax.lax.scan(
+                    body, (latents, state0),
+                    (jnp.arange(steps), timesteps, keep["cond_scale"]),
+                )
+            else:
+                prev = jnp.concatenate([timesteps[1:], jnp.full((1,), -1, jnp.int32)])
+
+                def body(lat, xs):
+                    t, tp, k = xs
+                    return ddim_step(self.schedule, model_eval(lat, t, k), t, tp, lat), None
+
+                latents, _ = jax.lax.scan(
+                    body, latents, (timesteps, prev, keep["cond_scale"])
+                )
+
+            z = (latents / self.scaling_factor).astype(self.dtype)
+            if vae_tiling is not None:
+                from reflecting_reality_tpu.parallel.sharded_vae import tiled_decode
+
+                img = tiled_decode(vae_module, vae_params, z,
+                                   num_tiles=vae_tiling[0], overlap=vae_tiling[1],
+                                   scale=self.vae_scale_factor)
+            else:
+                img = vae_module.apply(vae_params, z, method=vae_module.decode)
+            return img.astype(jnp.float32)
+
+        fn = jax.jit(run)
+        self._jit_cache[key] = fn
+        return fn
+
+    # ----------------------------------------------------------------- call
+
+    def __call__(
+        self,
+        prompt,
+        image,
+        mask,
+        depth=None,
+        normals=None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        negative_prompt=None,
+        seed: Optional[int] = None,
+        brushnet_conditioning_scale: float = 1.0,
+        control_guidance_start: float = 0.0,
+        control_guidance_end: float = 1.0,
+        original_size: Optional[Tuple[int, int]] = None,
+        crops_coords_top_left: Tuple[int, int] = (0, 0),
+        target_size: Optional[Tuple[int, int]] = None,
+        scheduler: str = "unipc",
+        output_type: str = "np",
+    ):
+        do_cfg = guidance_scale > 1.0
+        rng = jax.random.PRNGKey(0 if seed is None else seed)
+        rng_noise, rng_vae = jax.random.split(rng)
+
+        prompt_embeds, pooled = self.encode_prompt_xl(prompt, negative_prompt, do_cfg)
+
+        from reflecting_reality_tpu.pipelines.image_processor import interpolate_nearest
+
+        image_np = self.image_processor.preprocess(image, height, width)
+        mask_np = self.image_processor.preprocess(mask, height, width)
+        h, w = image_np.shape[1:3]
+        mask_np = (mask_np.sum(-1, keepdims=True) < 0).astype(np.float32)
+        hl, wl = h // self.vae_scale_factor, w // self.vae_scale_factor
+
+        cond = self._encode_sample(self.vae_params, jnp.asarray(image_np), rng_vae)
+        cond = jnp.concatenate(
+            [cond, jnp.asarray(interpolate_nearest(mask_np, hl, wl)).astype(cond.dtype)], -1
+        )
+        if self.depth_conditioning_mode == "concat":
+            d = interpolate_nearest(
+                self.image_processor.preprocess(depth, h, w)[..., :1], hl, wl
+            )
+            cond = jnp.concatenate([cond, jnp.asarray(d).astype(cond.dtype)], -1)
+
+        batch = image_np.shape[0]
+        latents = jax.random.normal(rng_noise, (batch, hl, wl, 4), jnp.float32)
+
+        original_size = original_size or (h, w)
+        target_size = target_size or (h, w)
+        add_time_ids = jnp.asarray(
+            [list(original_size) + list(crops_coords_top_left) + list(target_size)],
+            jnp.float32,
+        )
+        n = pooled.shape[0]
+        added = {
+            "text_embeds": pooled,
+            "time_ids": jnp.tile(add_time_ids, (n, 1)),
+        }
+
+        keeps = np.array(
+            [
+                1.0 - float(i / num_inference_steps < control_guidance_start
+                            or (i + 1) / num_inference_steps > control_guidance_end)
+                for i in range(num_inference_steps)
+            ],
+            np.float32,
+        )
+        key = ((batch, hl, wl, 4), num_inference_steps, scheduler, do_cfg, False)
+        fn = self._get_sampler_fn(key)
+        out = fn(
+            self.unet_params, self.brushnet_params, self.vae_params,
+            latents, cond, prompt_embeds, added,
+            {"cond_scale": jnp.asarray(keeps * brushnet_conditioning_scale),
+             "guidance_scale": jnp.float32(guidance_scale)},
+        )
+        if output_type == "latent":
+            return np.asarray(out)
+        return self.image_processor.postprocess(np.asarray(out), output_type=output_type)
