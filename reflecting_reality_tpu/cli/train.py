@@ -200,6 +200,8 @@ def main(argv=None):
         adam_epsilon=args.adam_epsilon,
         max_grad_norm=args.max_grad_norm,
         snr_gamma=args.snr_gamma,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        gradient_checkpointing=args.gradient_checkpointing,
         train_base_unet=args.train_base_unet,
         use_ema=args.use_ema,
         depth_conditioning_mode=args.depth_conditioning_mode,

@@ -59,6 +59,8 @@ class TrainConfig:
     max_grad_norm: float = 1.0
     snr_gamma: Optional[float] = None
     prediction_type: str = "epsilon"
+    gradient_accumulation_steps: int = 1
+    gradient_checkpointing: bool = False
     train_base_unet: bool = False
     use_ema: bool = False
     ema_decay: float = 0.9999
@@ -106,6 +108,10 @@ def make_optimizer(config: TrainConfig, data_parallel_size: int = 1,
         optax.clip_by_global_norm(config.max_grad_norm),
         adamw,
     )
+    if config.gradient_accumulation_steps > 1:
+        # reference accelerator.accumulate (:1349): average grads over K
+        # micro-steps, apply on the Kth.
+        tx = optax.MultiSteps(tx, config.gradient_accumulation_steps)
     return tx, schedule
 
 
@@ -228,7 +234,19 @@ def make_train_step(unet, brushnet, vae, text_encoder, config: TrainConfig,
             text_encoder.apply(frozen["text"], batch["input_ids"])
         )
 
-        down, mid, up = brushnet.apply(
+        brushnet_apply = brushnet.apply
+        unet_apply = unet.apply
+        if config.gradient_checkpointing:
+            # remat both branch forwards: trade recompute for activation
+            # memory (reference enable_gradient_checkpointing :1153-1155)
+            brushnet_apply = jax.checkpoint(
+                lambda p, *a, **k: brushnet.apply(p, *a, **k)
+            )
+            unet_apply = jax.checkpoint(
+                lambda p, *a, **k: unet.apply(p, *a, **k)
+            )
+
+        down, mid, up = brushnet_apply(
             trainable["brushnet"], noisy.astype(dtype), timesteps,
             ehs.astype(dtype), cond.astype(dtype),
         )
@@ -240,7 +258,7 @@ def make_train_step(unet, brushnet, vae, text_encoder, config: TrainConfig,
                 trainable["normal_proj"], freq_encode(normal_vec.astype(jnp.float32))
             )
             unet_ehs = jnp.concatenate([ehs, tok.astype(ehs.dtype)], axis=1)
-        pred = unet.apply(
+        pred = unet_apply(
             unet_params, noisy.astype(dtype), timesteps, unet_ehs.astype(dtype),
             down_block_add_samples=down, mid_block_add_sample=mid,
             up_block_add_samples=up,

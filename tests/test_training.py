@@ -140,3 +140,20 @@ class TestDataParallel:
         a = np.asarray(s_single.trainable["brushnet"]["params"]["conv_in_condition"]["kernel"])
         b = np.asarray(s_mesh.trainable["brushnet"]["params"]["conv_in_condition"]["kernel"])
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+class TestTrainingOptions:
+    def test_grad_accumulation_and_checkpointing(self):
+        """K=2 accumulation: params move only every 2nd step; remat on."""
+        step_fn, state = build(gradient_accumulation_steps=2,
+                               gradient_checkpointing=True)
+        step_fn = jax.jit(step_fn)
+        b = batch_of(2)
+        p0 = state.trainable["brushnet"]["params"]["conv_in_condition"]["kernel"]
+        s1, m1 = step_fn(state, b, jax.random.PRNGKey(0))
+        p1 = s1.trainable["brushnet"]["params"]["conv_in_condition"]["kernel"]
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))  # mid-accum
+        s2, m2 = step_fn(s1, b, jax.random.PRNGKey(1))
+        p2 = s2.trainable["brushnet"]["params"]["conv_in_condition"]["kernel"]
+        assert float(jnp.abs(p2 - p1).max()) > 0                        # applied
+        assert np.isfinite(float(m2["loss"]))
