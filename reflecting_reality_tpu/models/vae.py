@@ -108,6 +108,7 @@ class _MidBlock(nn.Module):
         x = Attention(
             query_dim=self.in_channels, heads=1, dim_head=self.in_channels,
             norm_num_groups=self.norm_num_groups, residual_connection=True,
+            qkv_bias=True,  # the VAE attention carries q/k/v biases
             dtype=self.dtype, name="attentions_0",
         )(x)
         x = ResnetBlock2D(

@@ -68,6 +68,7 @@ class Attention(nn.Module):
     heads: int = 8
     dim_head: int = 64
     cross_attention_dim: Optional[int] = None  # None -> self attention
+    qkv_bias: bool = False   # UNet attention: no bias; VAE attention: bias
     out_bias: bool = True
     residual_connection: bool = False
     norm_num_groups: Optional[int] = None  # VAE attention uses group_norm
@@ -107,7 +108,7 @@ class Attention(nn.Module):
             end = context.shape[1] - self.ip_num_tokens
             context, ip_context = context[:, :end], context[:, end:]
 
-        dense = partial(nn.Dense, dtype=self.dtype, use_bias=False)
+        dense = partial(nn.Dense, dtype=self.dtype, use_bias=self.qkv_bias)
         q = dense(inner_dim, name="to_q")(hidden_states)
         k = dense(inner_dim, name="to_k")(context)
         v = dense(inner_dim, name="to_v")(context)
@@ -121,8 +122,9 @@ class Attention(nn.Module):
         out = dot_product_attention(q, k, v)
 
         if ip_context is not None:
-            k_ip = dense(inner_dim, name="to_k_ip")(ip_context)
-            v_ip = dense(inner_dim, name="to_v_ip")(ip_context)
+            dense_ip = partial(nn.Dense, dtype=self.dtype, use_bias=False)
+            k_ip = dense_ip(inner_dim, name="to_k_ip")(ip_context)
+            v_ip = dense_ip(inner_dim, name="to_v_ip")(ip_context)
             ti = ip_context.shape[1]
             k_ip = k_ip.reshape(bq, ti, self.heads, self.dim_head)
             v_ip = v_ip.reshape(bq, ti, self.heads, self.dim_head)
