@@ -181,6 +181,13 @@ class StableDiffusionBrushNetPipeline:
             return dist.sample(rng) * self.scaling_factor
         return jax.jit(f)
 
+    @functools.cached_property
+    def _encode_mode(self):
+        def f(params, image):
+            dist = self.vae_module.apply(params, image.astype(self.dtype), method=self.vae_module.encode)
+            return dist.mode * self.scaling_factor
+        return jax.jit(f)
+
     # ---------------------------------------------------------------- sampler
 
     def _get_sampler_fn(self, key):
@@ -315,6 +322,7 @@ class StableDiffusionBrushNetPipeline:
         guess_mode: bool = False,
         scheduler: str = "unipc",
         output_type: str = "np",
+        deterministic_vae_encode: bool = False,
     ):
         """Generate; returns images per `output_type` ("np" | "pil" | "latent")."""
         do_cfg = guidance_scale > 1.0
@@ -344,7 +352,11 @@ class StableDiffusionBrushNetPipeline:
         hl, wl = h // self.vae_scale_factor, w // self.vae_scale_factor
 
         # 3. conditioning latents (device)
-        cond = self._encode_sample(self.vae_params, jnp.asarray(image_np), rng_vae)
+        enc = (
+            (lambda p, x, r: self._encode_mode(p, x))
+            if deterministic_vae_encode else self._encode_sample
+        )
+        cond = enc(self.vae_params, jnp.asarray(image_np), rng_vae)
         mask_lat = jnp.asarray(interpolate_nearest(mask_np, hl, wl))
         cond = jnp.concatenate([cond, mask_lat.astype(cond.dtype)], axis=-1)
 
@@ -358,7 +370,7 @@ class StableDiffusionBrushNetPipeline:
                 cond = jnp.concatenate([cond, jnp.asarray(d).astype(cond.dtype)], axis=-1)
             elif self.depth_conditioning_mode == "latents":
                 d3 = np.repeat(depth_np[..., :1], 3, axis=-1)
-                dlat = self._encode_sample(self.vae_params, jnp.asarray(d3), rng_dep)
+                dlat = enc(self.vae_params, jnp.asarray(d3), rng_dep)
                 cond = jnp.concatenate([cond, dlat.astype(cond.dtype)], axis=-1)
             else:
                 raise ValueError(self.depth_conditioning_mode)
@@ -372,7 +384,7 @@ class StableDiffusionBrushNetPipeline:
                 n = interpolate_nearest(normals_np, hl, wl)
                 cond = jnp.concatenate([cond, jnp.asarray(n).astype(cond.dtype)], axis=-1)
             else:
-                nlat = self._encode_sample(self.vae_params, jnp.asarray(normals_np), rng_nrm)
+                nlat = enc(self.vae_params, jnp.asarray(normals_np), rng_nrm)
                 cond = jnp.concatenate([cond, nlat.astype(cond.dtype)], axis=-1)
 
         # 4. initial latents
