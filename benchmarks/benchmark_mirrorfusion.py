@@ -106,6 +106,49 @@ def denoise_inputs(batch, latent, dtype):
     return latents, cond, embeds
 
 
+def bench_denoise_dispatch(unet, uparams, brushnet, bparams, batch, latent,
+                           dtype, n1=5, n2=25):
+    """Single-step jit, async-dispatched n times, one device sync at the end;
+    two-point difference removes the relay overhead."""
+    guidance = jnp.float32(7.5)
+
+    def step(uparams, bparams, latents, cond, embeds):
+        latent_in = jnp.concatenate([latents, latents], 0)
+        down, mid, up = brushnet.apply(
+            bparams, latent_in.astype(dtype), jnp.zeros((2 * batch,), jnp.int32),
+            embeds.astype(dtype), jnp.concatenate([cond, cond], 0).astype(dtype),
+        )
+        pred = unet.apply(
+            uparams, latent_in.astype(dtype), jnp.zeros((2 * batch,), jnp.int32),
+            embeds.astype(dtype), down_block_add_samples=down,
+            mid_block_add_sample=mid, up_block_add_samples=up,
+        )
+        u, c = jnp.split(pred, 2, 0)
+        return u + guidance * (c - u)
+
+    f = jax.jit(step)
+    latents, cond, embeds = denoise_inputs(batch, latent, dtype)
+
+    def run(n):
+        r = latents
+        for _ in range(n):
+            r = f(uparams, bparams, r, cond, embeds)
+        np.asarray(r)
+
+    run(2)  # compile
+    import time as _t
+
+    best = {}
+    for n in (n1, n2):
+        b = float("inf")
+        for _ in range(3):
+            t0 = _t.time()
+            run(n)
+            b = min(b, _t.time() - t0)
+        best[n] = b
+    return (n2 - n1) / (best[n2] - best[n1])
+
+
 def bench_denoise(unet, uparams, brushnet, bparams, batch, latent, dtype,
                   n1=10, n2=50):
     f1 = make_denoise(unet, brushnet, n1, batch, latent, dtype)
@@ -137,8 +180,10 @@ def main():
                  round(8 * sps8 / 50, 3), "batched CFG (16 through models)"])
 
     if not args.skip_1024:
-        sps_hr = bench_denoise(unet, uparams, brushnet, bparams, 1, 128, dtype,
-                               n1=4, n2=12)
+        # scan-of-50 at 1024² takes >30 min to compile through the remote
+        # tunnel; measure via pipelined single-step dispatches instead.
+        sps_hr = bench_denoise_dispatch(unet, uparams, brushnet, bparams,
+                                        1, 128, dtype)
         # tiled VAE decode at 1024²
         vae = AutoencoderKL(dtype=dtype)
         vparams = jax.jit(vae.init)(

@@ -47,10 +47,10 @@ class UniPCSampler:
         steps_offset: int = 0,
         lower_order_final: bool = True,
     ):
-        if solver_order != 2:
+        if solver_order not in (1, 2):
             raise NotImplementedError(
-                "solver_order=2 is the MirrorFusion/diffusers default; orders 1/3 "
-                "can be added behind the same carry."
+                "solver_order 1/2 supported (2 is the MirrorFusion/diffusers "
+                "default); order 3 would need a longer history carry."
             )
         assert solver_type in ("bh1", "bh2")
         self.schedule = schedule
@@ -137,7 +137,7 @@ class UniPCSampler:
         b1_c = 2.0 * ((h_phi_1_c / hh_c - 1.0) / hh_c - 0.5) / B_h_c
 
         # order-2 corrector uses m1 (x0 pred from step i-2); active for i >= 2
-        use_c2 = i >= 2
+        use_c2 = (i >= 2) if self.solver_order >= 2 else jnp.bool_(False)
         r0_c = (lam[im2] - lam[im1]) / h_c
         r0_c_safe = jnp.where(use_c2, r0_c, 0.5)
         D1s_c = (m1 - m0) / jnp.where(use_c2, r0_c_safe, 1.0)
@@ -165,7 +165,12 @@ class UniPCSampler:
         B_h_p = self._b_h(hh_p)
 
         # this_order = min(solver_order, N - i, i + 1)  [lower_order_final]
-        use_p2 = (i >= 1) & ((N - i) >= 2) if self.lower_order_final else (i >= 1)
+        if self.solver_order == 1:
+            use_p2 = jnp.bool_(False)
+        elif self.lower_order_final:
+            use_p2 = (i >= 1) & ((N - i) >= 2)
+        else:
+            use_p2 = i >= 1
         r0_p = (lam[im1] - lam[i]) / h_p
         D1_p = (m0 - x0) / jnp.where(use_p2, jnp.where(r0_p == 0, 1.0, r0_p), 1.0)
         x_pred_base = sig[i + 1] / sig[i] * sample_f - alp[i + 1] * h_phi_1_p * x0

@@ -33,9 +33,10 @@ def fake_eps(x, t):
     return 0.1 * x + np.sin(0.01 * float(t)) * grid
 
 
-def run_unipc(num_steps, spacing="linspace", steps_offset=0):
+def run_unipc(num_steps, spacing="linspace", steps_offset=0, solver_order=2):
     sched = UniPCMultistepScheduler(
-        solver_order=2, timestep_spacing=spacing, steps_offset=steps_offset, **SD_BETAS
+        solver_order=solver_order, timestep_spacing=spacing,
+        steps_offset=steps_offset, **SD_BETAS
     )
     sched.set_timesteps(num_steps)
     rng = np.random.RandomState(42)
@@ -85,6 +86,7 @@ def main():
     u_ts_50, u_traj_50 = run_unipc(50)
     u_ts_20, u_traj_20 = run_unipc(20)
     u_ts_lead, u_traj_lead = run_unipc(10, spacing="leading", steps_offset=1)
+    u_ts_o1, u_traj_o1 = run_unipc(10, solver_order=1)
     d_ts, d_traj = run_ddim(20)
     x0, noise, ts, noisy, velocity, acp = run_ddpm_add_noise()
     np.savez_compressed(
@@ -92,6 +94,7 @@ def main():
         unipc_ts_50=u_ts_50, unipc_traj_50=u_traj_50,
         unipc_ts_20=u_ts_20, unipc_traj_20=u_traj_20,
         unipc_ts_lead=u_ts_lead, unipc_traj_lead=u_traj_lead,
+        unipc_ts_o1=u_ts_o1, unipc_traj_o1=u_traj_o1,
         ddim_ts=d_ts, ddim_traj=d_traj,
         ddpm_x0=x0, ddpm_noise=noise, ddpm_ts=ts, ddpm_noisy=noisy,
         ddpm_velocity=velocity, alphas_cumprod=acp,

@@ -144,3 +144,23 @@ class TestDDIM:
                 np.asarray(x), traj_ref[i + 1], rtol=1e-3, atol=3e-4,
                 err_msg=f"step {i} (t={t})",
             )
+
+
+class TestUniPCOrder1:
+    def test_order1_trajectory(self, golden):
+        if "unipc_traj_o1" not in golden:
+            pytest.skip("order-1 golden not generated")
+        sched = sd_schedule()
+        sampler = UniPCSampler(sched, 10, solver_order=1)
+        np.testing.assert_array_equal(
+            np.asarray(sampler.timesteps), golden["unipc_ts_o1"]
+        )
+        x = jnp.asarray(golden["unipc_traj_o1"][0])
+        state = sampler.init_state(x)
+        for i, t in enumerate(np.asarray(sampler.timesteps)):
+            eps = jnp.asarray(fake_eps(x, t))
+            x, state = sampler.step(eps, i, x, state)
+            np.testing.assert_allclose(
+                np.asarray(x), golden["unipc_traj_o1"][i + 1],
+                rtol=2e-4, atol=2e-5, err_msg=f"step {i}",
+            )
