@@ -314,6 +314,16 @@ def run_validation(args, state, unet_module, brushnet_module, vae, text,
     else:
         df = df.iloc[: args.num_validation_images]
 
+    def stamp(img_arr, psnr, ssim):
+        """Annotate scores onto the image (reference :239-242)."""
+        from PIL import ImageDraw
+
+        im = Image.fromarray(img_arr)
+        draw = ImageDraw.Draw(im)
+        draw.rectangle([0, 0, im.width, 12], fill=(0, 0, 0))
+        draw.text((2, 1), f"PSNR {psnr:.2f}  SSIM {ssim:.3f}", fill=(255, 255, 0))
+        return im
+
     val_dir = os.path.join(args.output_dir, "validation", f"step-{step}")
     os.makedirs(val_dir, exist_ok=True)
     best_psnrs, best_ssims = [], []
@@ -340,9 +350,14 @@ def run_validation(args, state, unet_module, brushnet_module, vae, text,
             p, s = psnr_ssim(out.astype(np.float32),
                              data["image"].astype(np.float32))
             scores.append((p, s, out))
-            Image.fromarray(out).save(
-                os.path.join(val_dir, f"{row['uid']}_{k}.png")
-            )
+        # 2-row grid sheet of score-stamped seeds (reference logs grids)
+        stamped = [stamp(o, p, s) for p, s, o in scores]
+        cols = max(1, len(stamped) // 2)
+        w, h = stamped[0].size
+        grid = Image.new("RGB", (cols * w, 2 * h))
+        for k, im in enumerate(stamped):
+            grid.paste(im, (k % cols * w, k // cols * h))
+        grid.save(os.path.join(val_dir, f"{row['uid']}.png"))
         best = max(scores, key=lambda x: x[1])
         best_psnrs.append(best[0])
         best_ssims.append(best[1])

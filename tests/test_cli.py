@@ -46,11 +46,17 @@ class TestCLIJourney:
             "--dataloader_num_workers", "2",
             "--report_to", "none",
             "--logging_dir", os.path.join(out, "logs"),
-            "--validation_steps", "0",
+            "--validation_steps", "2",
+            "--num_validation_images", "1",
+            "--num_images_per_validation", "2",
+            "--num_inference_steps", "2",
             "--seed", "0",
             "--log_every", "1",
         ]
         train_cli.main(argv)
+        # validation ran at step 2: score-stamped grid sheet on disk
+        val_dir = os.path.join(out, "validation", "step-2")
+        assert os.path.isdir(val_dir) and len(os.listdir(val_dir)) == 1
 
         ckpt2 = os.path.join(out, "checkpoint-2")
         assert os.path.isdir(os.path.join(ckpt2, "brushnet"))
@@ -62,9 +68,11 @@ class TestCLIJourney:
         # metrics jsonl written
         assert os.path.getsize(os.path.join(out, "logs", "metrics.jsonl")) > 0
 
-        # resume two more steps from latest
-        train_cli.main(argv + ["--resume_from_checkpoint", "latest",
-                               "--max_train_steps", "3"])
+        # resume from latest (validation off for speed)
+        argv_resume = list(argv)
+        argv_resume[argv_resume.index("--validation_steps") + 1] = "0"
+        train_cli.main(argv_resume + ["--resume_from_checkpoint", "latest",
+                                      "--max_train_steps", "3"])
         assert os.path.isdir(os.path.join(out, "checkpoint-3"))
 
         # inference over the trained checkpoint
