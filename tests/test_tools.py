@@ -109,3 +109,17 @@ class TestSummarizer:
         df = pd.read_csv(out)
         assert df["auto_caption"][0] == "short one"
         assert len(df["auto_caption"][1].split()) == 8
+
+
+class TestCreateSplits:
+    def test_group_split(self, data_dir):
+        import pandas as pd
+
+        from reflecting_reality_tpu.tools.create_splits import main
+
+        main(["--data_dir", data_dir, "--test_fraction", "0.34", "--seed", "0"])
+        train = pd.read_csv(os.path.join(data_dir, "train.csv"))
+        test = pd.read_csv(os.path.join(data_dir, "test.csv"))
+        assert len(train) + len(test) == 3
+        assert set(train["uid"]).isdisjoint(set(test["uid"]))
+        assert "auto_caption" in train.columns
