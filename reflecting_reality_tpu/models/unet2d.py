@@ -78,7 +78,15 @@ class UNet2DConditionModel(nn.Module, ConfigMixin):
         mid_block_add_sample: Optional[jnp.ndarray] = None,
         up_block_add_samples: Optional[Sequence[jnp.ndarray]] = None,
         added_cond_kwargs: Optional[dict] = None,
-    ) -> jnp.ndarray:
+        cached_deep: Optional[jnp.ndarray] = None,
+        return_deep: bool = False,
+    ):
+        """DeepCache support (opt-in inference acceleration, after
+        arXiv:2312.03209): `return_deep=True` additionally returns the hidden
+        state entering the LAST up block (the "deep trunk" output); passing it
+        back as `cached_deep` on a later step skips down blocks 1..N, the mid
+        block, and up blocks 0..N-2, recomputing only the shallow
+        (highest-resolution) encoder/decoder around it."""
         heads = self._heads()
         tlayers = self._tlayers()
         bocs = self.block_out_channels
@@ -120,8 +128,12 @@ class UNet2DConditionModel(nn.Module, ConfigMixin):
         if is_brushnet:
             sample = sample + down_adds.pop(0)
 
+        shallow_only = cached_deep is not None
+
         # 3. down
         for i, block_type in enumerate(self.down_block_types):
+            if shallow_only and i > 0:
+                break
             is_final = i == len(bocs) - 1
             block_cls = DOWN_BLOCKS[block_type]
             kwargs = dict(
@@ -150,6 +162,47 @@ class UNet2DConditionModel(nn.Module, ConfigMixin):
             )
             down_block_res_samples += res_samples
 
+        if shallow_only:
+            # shallow decoder only: final up block over the cached deep trunk
+            num_layers = self.layers_per_block + 1
+            res_samples = tuple(down_block_res_samples[:num_layers])
+            i = len(self.up_block_types) - 1
+            block_cls = UP_BLOCKS[self.up_block_types[i]]
+            kwargs = dict(
+                in_channels=bocs[0],
+                prev_output_channel=bocs[1] if len(bocs) > 1 else bocs[0],
+                out_channels=bocs[0],
+                num_layers=num_layers,
+                add_upsample=False,
+                resnet_eps=self.norm_eps,
+                resnet_groups=self.norm_num_groups,
+                dtype=self.dtype,
+            )
+            if block_cls.has_cross_attention:
+                kwargs.update(
+                    transformer_layers_per_block=tlayers[0],
+                    num_attention_heads=heads[0],
+                    cross_attention_dim=self.cross_attention_dim,
+                    use_linear_projection=self.use_linear_projection,
+                    ip_num_tokens=self.ip_num_tokens,
+                    ip_scale=self.ip_scale,
+                )
+            adds = list(up_adds[-num_layers:]) if is_brushnet else None
+            sample, _ = block_cls(name=f"up_blocks_{i}", **kwargs)(
+                cached_deep, res_samples, emb,
+                encoder_hidden_states=encoder_hidden_states,
+                add_samples=adds, upsample_size=None,
+            )
+            sample = GroupNorm(
+                num_groups=self.norm_num_groups, epsilon=self.norm_eps,
+                name="conv_norm_out",
+            )(sample, apply_silu=True)
+            sample = nn.Conv(
+                self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                dtype=self.dtype, name="conv_out",
+            )(sample)
+            return sample, cached_deep
+
         # 4. mid
         mid_cls = MID_BLOCKS[self.mid_block_type]
         mid_kwargs = dict(
@@ -176,8 +229,11 @@ class UNet2DConditionModel(nn.Module, ConfigMixin):
         reversed_bocs = list(reversed(bocs))
         reversed_heads = list(reversed(heads))
         output_channel = reversed_bocs[0]
+        deep = None
         for i, block_type in enumerate(self.up_block_types):
             is_final = i == len(bocs) - 1
+            if is_final:
+                deep = sample  # input to the last up block (DeepCache point)
             prev_output_channel = output_channel
             output_channel = reversed_bocs[i]
             input_channel = reversed_bocs[min(i + 1, len(bocs) - 1)]
@@ -224,4 +280,6 @@ class UNet2DConditionModel(nn.Module, ConfigMixin):
         sample = nn.Conv(
             self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_out"
         )(sample)
+        if return_deep:
+            return sample, deep
         return sample

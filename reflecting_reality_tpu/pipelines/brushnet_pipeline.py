@@ -80,6 +80,7 @@ class StableDiffusionBrushNetPipeline:
         self.image_processor = ImageProcessor(vae_scale_factor=vae_scale_factor)
         self._jit_cache = {}
         self._vae_tiling = None  # (num_tiles, overlap) when enabled
+        self._deep_cache = None  # interval when enabled (DeepCache)
 
     @classmethod
     def from_pretrained(
@@ -135,6 +136,21 @@ class StableDiffusionBrushNetPipeline:
 
     def disable_vae_tiling(self) -> None:
         self._vae_tiling = None
+        self._jit_cache.clear()
+
+    def enable_deep_cache(self, interval: int = 2) -> None:
+        """DeepCache acceleration (arXiv:2312.03209, from the retrieved-papers
+        list): every `interval`-th step runs the full dual branch and caches
+        the UNet's deep-trunk feature + the BrushNet residual stacks; the
+        steps in between recompute only the shallow (full-resolution) encoder
+        and decoder blocks around the cached trunk.  Approximate — outputs
+        differ slightly from the exact path."""
+        assert interval >= 1
+        self._deep_cache = None if interval == 1 else int(interval)
+        self._jit_cache.clear()
+
+    def disable_deep_cache(self) -> None:
+        self._deep_cache = None
         self._jit_cache.clear()
 
     # ------------------------------------------------------------------ text
@@ -193,10 +209,10 @@ class StableDiffusionBrushNetPipeline:
     def _get_sampler_fn(self, key):
         """One jitted program: scan(denoise) + vae decode.
 
-        key = (shape tuple, steps, scheduler, guidance bool, guess_mode)."""
+        key = (shape, steps, scheduler, cfg, guess_mode, deep_cache)."""
         if key in self._jit_cache:
             return self._jit_cache[key]
-        (b, hl, wl, cl), steps, scheduler_name, do_cfg, guess_mode = key
+        (b, hl, wl, cl), steps, scheduler_name, do_cfg, guess_mode = key[:5]
 
         if scheduler_name == "unipc":
             sampler = UniPCSampler(self.schedule, steps)
@@ -212,6 +228,9 @@ class StableDiffusionBrushNetPipeline:
         brushnet_apply = self.brushnet_module.apply
         vae_module = self.vae_module
         vae_tiling = self._vae_tiling
+        deep_cache = self._deep_cache
+        if deep_cache is not None:
+            assert not guess_mode, "deep cache + guess_mode unsupported"
 
         def denoise_and_decode(unet_params, brushnet_params, vae_params,
                                latents, cond_latents, prompt_embeds, keep_scales):
@@ -224,7 +243,8 @@ class StableDiffusionBrushNetPipeline:
             else:
                 brushnet_embeds = prompt_embeds
 
-            def model_eval(latents, t, cond_scale):
+            def branch_forward(latents, t, cond_scale):
+                """Full dual-branch forward; returns (pred, cache)."""
                 latent_in = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
                 control_in = latents if (guess_mode and do_cfg) else latent_in
                 down, mid, up = brushnet_apply(
@@ -241,7 +261,7 @@ class StableDiffusionBrushNetPipeline:
                     down = [jnp.concatenate([jnp.zeros_like(d), d], axis=0) for d in down]
                     mid = jnp.concatenate([jnp.zeros_like(mid), mid], axis=0)
                     up = [jnp.concatenate([jnp.zeros_like(u), u], axis=0) for u in up]
-                noise_pred = unet_apply(
+                out = unet_apply(
                     unet_params,
                     latent_in.astype(self.dtype),
                     t,
@@ -249,37 +269,89 @@ class StableDiffusionBrushNetPipeline:
                     down_block_add_samples=down,
                     mid_block_add_sample=mid,
                     up_block_add_samples=up,
+                    return_deep=deep_cache is not None,
+                )
+                if deep_cache is not None:
+                    noise_pred, deep = out
+                    cache = (deep, tuple(down), mid, tuple(up))
+                else:
+                    noise_pred, cache = out, None
+                return noise_pred, cache
+
+            def shallow_forward(latents, t, cache):
+                """DeepCache step: cached trunk + cached brushnet residuals;
+                only the shallow encoder/decoder recompute."""
+                deep, down, mid, up = cache
+                latent_in = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
+                noise_pred, _ = unet_apply(
+                    unet_params,
+                    latent_in.astype(self.dtype),
+                    t,
+                    prompt_embeds.astype(self.dtype),
+                    down_block_add_samples=list(down),
+                    mid_block_add_sample=mid,
+                    up_block_add_samples=list(up),
+                    cached_deep=deep,
+                )
+                return noise_pred, cache
+
+            def model_eval(latents, t, cond_scale, i=None, cache=None):
+                if deep_cache is None:
+                    pred, _ = branch_forward(latents, t, cond_scale)
+                    if do_cfg:
+                        uncond, text = jnp.split(pred, 2, axis=0)
+                        pred = uncond + keep_scales["guidance_scale"] * (text - uncond)
+                    return pred, None
+                pred, cache = jax.lax.cond(
+                    i % deep_cache == 0,
+                    lambda lat, tt, cs, c: branch_forward(lat, tt, cs),
+                    lambda lat, tt, cs, c: shallow_forward(lat, tt, c),
+                    latents, t, cond_scale, cache,
                 )
                 if do_cfg:
-                    uncond, text = jnp.split(noise_pred, 2, axis=0)
-                    noise_pred = uncond + keep_scales["guidance_scale"] * (text - uncond)
-                return noise_pred
+                    uncond, text = jnp.split(pred, 2, axis=0)
+                    pred = uncond + keep_scales["guidance_scale"] * (text - uncond)
+                return pred, cache
+
+            cache0 = None
+            if deep_cache is not None:
+                # zero-initialized cache pytree (step 0 is always a full step)
+                shapes = jax.eval_shape(
+                    lambda lat: branch_forward(
+                        lat, timesteps[0], keep_scales["cond_scale"][0]
+                    )[1],
+                    latents,
+                )
+                cache0 = jax.tree_util.tree_map(
+                    lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes
+                )
 
             if scheduler_name == "unipc":
                 state0 = sampler.init_state(latents)
 
                 def body(carry, xs):
-                    latents, state = carry
+                    latents, state, cache = carry
                     i, t, keep = xs
-                    noise_pred = model_eval(latents, t, keep)
+                    noise_pred, cache = model_eval(latents, t, keep, i, cache)
                     latents, state = sampler.step(noise_pred, i, latents, state)
-                    return (latents, state), None
+                    return (latents, state, cache), None
 
                 xs = (jnp.arange(steps), timesteps, keep_scales["cond_scale"])
-                (latents, _), _ = jax.lax.scan(body, (latents, state0), xs)
+                (latents, _, _), _ = jax.lax.scan(body, (latents, state0, cache0), xs)
             else:  # ddim
                 prev_ts = jnp.concatenate(
                     [timesteps[1:], jnp.full((1,), -1, dtype=jnp.int32)]
                 )
 
-                def body(latents, xs):
-                    t, t_prev, keep = xs
-                    noise_pred = model_eval(latents, t, keep)
+                def body(carry, xs):
+                    latents, cache = carry
+                    i, t, t_prev, keep = xs
+                    noise_pred, cache = model_eval(latents, t, keep, i, cache)
                     latents = ddim_step(self.schedule, noise_pred, t, t_prev, latents)
-                    return latents, None
+                    return (latents, cache), None
 
-                xs = (timesteps, prev_ts, keep_scales["cond_scale"])
-                latents, _ = jax.lax.scan(body, latents, xs)
+                xs = (jnp.arange(steps), timesteps, prev_ts, keep_scales["cond_scale"])
+                (latents, _), _ = jax.lax.scan(body, (latents, cache0), xs)
 
             z = (latents / self.scaling_factor).astype(self.dtype)
             if vae_tiling is not None:
@@ -420,6 +492,7 @@ class StableDiffusionBrushNetPipeline:
             scheduler,
             do_cfg,
             guess_mode,
+            self._deep_cache,
         )
         fn = self._get_sampler_fn(key)
         image_out = fn(
