@@ -123,3 +123,19 @@ class TestCreateSplits:
         assert len(train) + len(test) == 3
         assert set(train["uid"]).isdisjoint(set(test["uid"]))
         assert "auto_caption" in train.columns
+
+
+class TestCamPoseMap:
+    def test_build_map(self, data_dir, tmp_path):
+        import shutil
+
+        from reflecting_reality_tpu.tools.create_novel_cam_poses import build_map
+
+        views = tmp_path / "views"
+        views.mkdir()
+        for i in range(2):
+            shutil.copy(os.path.join(data_dir, "obj", f"{i}.hdf5"), views / f"{i}.hdf5")
+        m = build_map(str(views), points=[(10, 20), (30, 40)])
+        assert len(m) >= 1  # identity cam2world for both -> same key collapses
+        entry = next(iter(m.values()))
+        assert set(entry) == {"point", "ratio_w", "ratio_h", "floor_path"}
