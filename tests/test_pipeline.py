@@ -104,3 +104,14 @@ class TestPipeline:
                    num_inference_steps=4, seed=0,
                    control_guidance_start=0.25, control_guidance_end=0.75)
         assert out.shape == (1, H, W, 3)
+
+
+def test_guess_mode_smoke(pipe):
+    """guess_mode: brushnet on the cond half only, uncond half zero-padded
+    (reference pipeline_brushnet.py:1260-1295)."""
+    image, mask, depth = _inputs()
+    out = pipe(prompt="m", image=image, mask=mask, depth=depth,
+               num_inference_steps=2, guidance_scale=7.5, seed=0,
+               guess_mode=True)
+    assert out.shape == (1, H, W, 3)
+    assert np.isfinite(out.astype(np.float32)).all()
