@@ -266,11 +266,11 @@ def main(argv=None):
                 logger.info("Saved %s", path)
 
             if args.validation_steps and step % args.validation_steps == 0:
-                try:
-                    run_validation(args, state, unet_module, brushnet_module,
-                                   vae, text, tokenizer, trackers, step, dtype)
-                except Exception as e:
-                    logger.warning("validation failed: %s", e)
+                # No blanket try/except here: a broken validation path must
+                # fail loudly. Per-sample IO errors are handled inside
+                # run_validation.
+                run_validation(args, state, unet_module, brushnet_module,
+                               vae, text, tokenizer, trackers, step, dtype)
 
             if step >= args.max_train_steps:
                 break
@@ -291,13 +291,21 @@ def run_validation(args, state, unet_module, brushnet_module, vae, text,
     from PIL import Image
 
     from reflecting_reality_tpu.data.synmirror import (
-        apply_transforms_depth, extract_data_from_hdf5,
+        apply_transforms_depth, apply_transforms_normals, extract_data_from_hdf5,
     )
     from reflecting_reality_tpu.metrics.functional import psnr_ssim
     from reflecting_reality_tpu.pipelines.brushnet_pipeline import StableDiffusionBrushNetPipeline
 
     host = jax.device_get(state)
     unet_params = host.trainable.get("unet", host.frozen.get("unet"))
+    normal_proj = None
+    if args.normals_conditioning_mode == "ip_adapter":
+        from reflecting_reality_tpu.models.ip_adapter import NormalProjModel
+
+        normal_proj = (
+            NormalProjModel(unet_module.cross_attention_dim, dtype=dtype),
+            host.trainable["normal_proj"],
+        )
     pipe = StableDiffusionBrushNetPipeline(
         vae=(vae[0], host.frozen["vae"]),
         text_encoder=(text[0], host.frozen["text"]),
@@ -306,6 +314,7 @@ def run_validation(args, state, unet_module, brushnet_module, vae, text,
         brushnet=(brushnet_module, host.trainable["brushnet"]),
         depth_conditioning_mode=args.depth_conditioning_mode,
         normals_conditioning_mode=args.normals_conditioning_mode,
+        normal_proj=normal_proj,
         dtype=dtype,
     )
     df = pd.read_csv(os.path.join(args.train_data_dir, args.test_csv))
@@ -328,12 +337,29 @@ def run_validation(args, state, unet_module, brushnet_module, vae, text,
     os.makedirs(val_dir, exist_ok=True)
     best_psnrs, best_ssims = [], []
     for _, row in df.iterrows():
-        with h5py.File(os.path.join(args.train_data_dir, str(row["path"])), "r") as f:
-            data = extract_data_from_hdf5(f)
+        try:
+            with h5py.File(os.path.join(args.train_data_dir, str(row["path"])), "r") as f:
+                data = extract_data_from_hdf5(f)
+        except (OSError, KeyError) as e:
+            # per-sample IO tolerance only (reference log_validation reads
+            # samples unguarded; eval-side per-sample try/except is the
+            # reference pattern, evaluate_metrics.py:365-369)
+            logger.warning("validation sample %s unreadable: %s", row.get("path"), e)
+            continue
         depth = None
         if args.depth_conditioning_mode is not None:
             depth = apply_transforms_depth(data["depth"], data["mask"],
                                            resolution=args.resolution)
+        normals = None
+        if args.normals_conditioning_mode in ("concat", "latents"):
+            # raw normals image; the pipeline preprocesses it (reference
+            # get_hdf5_data :131-132)
+            normals = Image.fromarray(np.asarray(data["normals"], np.uint8), mode="RGB")
+        elif args.normals_conditioning_mode == "ip_adapter":
+            normals = apply_transforms_normals(
+                data["normals"], mask=data["mask"],
+                normals_conditioning_mode="ip_adapter",
+            )  # (1, 3) unit mean mirror normal
         prompt = args.mirror_prompt + str(row[args.caption_column])
         scores = []
         for k in range(args.num_images_per_validation):
@@ -342,6 +368,7 @@ def run_validation(args, state, unet_module, brushnet_module, vae, text,
                 Image.fromarray(data["masked_image"]),
                 Image.fromarray(data["mask"]).convert("RGB"),
                 depth=depth,
+                normals=normals,
                 height=args.resolution, width=args.resolution,
                 num_inference_steps=args.num_inference_steps,
                 guidance_scale=7.5, seed=k,
@@ -362,6 +389,9 @@ def run_validation(args, state, unet_module, brushnet_module, vae, text,
         best_psnrs.append(best[0])
         best_ssims.append(best[1])
 
+    if not best_psnrs:
+        logger.warning("validation produced no samples at step %d", step)
+        return
     log_to_trackers(trackers, {
         "val/psnr": float(np.mean(best_psnrs)),
         "val/ssim": float(np.mean(best_ssims)),

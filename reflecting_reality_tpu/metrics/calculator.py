@@ -82,19 +82,26 @@ class MetricsCalculator:
 
     def calculate_lpips(self, pred, gt) -> float:
         if self._lpips is None:
-            from reflecting_reality_tpu.metrics.lpips import LPIPS, load_torch_lpips_state
+            from reflecting_reality_tpu.metrics.lpips import (
+                LPIPS, load_lpips_npz, load_torch_lpips_state,
+            )
 
             if self._lpips_weights is None:
                 raise RuntimeError(
-                    "LPIPS requested but no weights file given "
-                    "(pass lpips_weights=<torch lpips-squeeze checkpoint>)"
+                    "LPIPS requested but no weights file given (pass "
+                    "lpips_weights=<.npz from tools/convert_lpips.py, or a "
+                    "torch lpips-squeeze checkpoint>)"
                 )
-            import torch
+            if str(self._lpips_weights).endswith(".npz"):
+                # hermetic path: numpy only, no torch at runtime
+                params = load_lpips_npz(self._lpips_weights)
+            else:
+                import torch
 
-            state = {k: v.numpy() for k, v in
-                     torch.load(self._lpips_weights, map_location="cpu").items()}
+                state = {k: v.numpy() for k, v in
+                         torch.load(self._lpips_weights, map_location="cpu").items()}
+                params = load_torch_lpips_state(state)
             module = LPIPS()
-            params = load_torch_lpips_state(state)
             self._lpips = (module, params)
         module, params = self._lpips
         p = jnp.asarray(pred, jnp.float32)[None] if np.ndim(pred) == 3 else jnp.asarray(pred)

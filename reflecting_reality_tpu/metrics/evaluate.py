@@ -253,7 +253,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_csv", type=str, default="eval")
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--lpips_weights", type=str, default=None,
-                   help="torch lpips-squeeze checkpoint for the flax LPIPS port")
+                   help="LPIPS-squeeze weights: hermetic .npz from "
+                        "tools/convert_lpips.py (no torch needed) or a torch "
+                        "checkpoint (.pt/.pth, torch required)")
     p.add_argument("--shard_id", type=int, default=0)
     p.add_argument("--num_shards", type=int, default=1)
     return p

@@ -152,3 +152,42 @@ def load_torch_lpips_state(state: Dict[str, np.ndarray]) -> dict:
             raise KeyError(f"missing lin{i} weight")
         params[f"lin{i}"] = {"kernel": np.transpose(w, (2, 3, 1, 0))}
     return {"params": params}
+
+
+# ---------------------------------------------------------------------- npz
+# Hermetic (torch-free) weights format: one .npz whose keys are "/"-joined
+# flax param paths.  Produced once by tools/convert_lpips.py wherever torch
+# exists; loaded at runtime with numpy only (VERDICT item: the reference
+# reaches LPIPS through torchmetrics at metrics/metrics.py:196-209 — a TPU
+# image must not need torch for it).
+
+
+def _flatten(tree: dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for k, v in flat.items():
+        node = tree
+        parts = k.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_lpips_npz(params: dict, path: str) -> None:
+    np.savez_compressed(path, **_flatten(params))
+
+
+def load_lpips_npz(path: str) -> dict:
+    with np.load(path) as z:
+        return _unflatten({k: z[k] for k in z.files})

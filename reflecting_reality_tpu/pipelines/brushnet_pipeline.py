@@ -59,6 +59,7 @@ class StableDiffusionBrushNetPipeline:
         schedule: Optional[NoiseSchedule] = None,
         depth_conditioning_mode: Optional[str] = None,     # None|"concat"|"latents"
         normals_conditioning_mode: Optional[str] = None,   # None|"concat"|"latents"|"ip_adapter"
+        normal_proj=None,         # (NormalProjModel module, params), ip_adapter mode
         vae_scale_factor: int = 8,
         scaling_factor: float = 0.18215,
         dtype: jnp.dtype = jnp.float32,
@@ -68,6 +69,12 @@ class StableDiffusionBrushNetPipeline:
         self.tokenizer = tokenizer
         self.unet_module, self.unet_params = unet
         self.brushnet_module, self.brushnet_params = brushnet
+        if normals_conditioning_mode == "ip_adapter" and normal_proj is None:
+            raise ValueError(
+                "normals_conditioning_mode='ip_adapter' needs normal_proj="
+                "(NormalProjModel module, params)"
+            )
+        self.normal_proj = normal_proj
         self.schedule = schedule or NoiseSchedule.create(
             num_train_timesteps=1000, beta_start=0.00085, beta_end=0.012,
             beta_schedule="scaled_linear",
@@ -90,11 +97,19 @@ class StableDiffusionBrushNetPipeline:
         unet_path: Optional[str] = None,
         depth_conditioning_mode: Optional[str] = None,
         normals_conditioning_mode: Optional[str] = None,
+        ip_adapter_path: Optional[str] = None,
+        ip_adapter_scale: float = 1.0,
         dtype: jnp.dtype = jnp.float32,
     ) -> "StableDiffusionBrushNetPipeline":
         """Load from diffusers-layout checkpoints (reference test_brushnet.py:139-155:
         base SD-1.5 folder with unet/vae/text_encoder/tokenizer subfolders, a
-        MirrorFusion brushnet folder, and optionally a fine-tuned unet folder)."""
+        MirrorFusion brushnet folder, and optionally a fine-tuned unet folder).
+
+        ip_adapter mode: the trained to_k_ip/to_v_ip live in the unet
+        checkpoint; the NormalProjModel weights load from `ip_adapter_path`
+        (defaults to the `ip_adapter/` sibling of the brushnet folder — the
+        layout training.checkpoint writes, mirroring the reference's
+        checkpoint-N/ip_adapter/ip-adapter.bin at train_brushnet_mirror.py:1018-1032)."""
         import os
 
         from reflecting_reality_tpu.core.io import load_pretrained
@@ -103,14 +118,34 @@ class StableDiffusionBrushNetPipeline:
         from reflecting_reality_tpu.models.unet2d import UNet2DConditionModel
         from reflecting_reality_tpu.models.vae import AutoencoderKL
 
+        ip_mode = normals_conditioning_mode == "ip_adapter"
+        unet_overrides = {}
+        if ip_mode:
+            from reflecting_reality_tpu.models.ip_adapter import DEFAULT_NUM_TOKENS
+
+            unet_overrides = dict(ip_num_tokens=DEFAULT_NUM_TOKENS,
+                                  ip_scale=ip_adapter_scale)
         vae = load_pretrained(AutoencoderKL, base_path, subfolder="vae", dtype=dtype)
         unet = load_pretrained(
             UNet2DConditionModel,
             unet_path or base_path,
             subfolder=None if unet_path else "unet",
             dtype=dtype,
+            **unet_overrides,
         )
         brushnet = load_pretrained(BrushNetModel, brushnet_path, dtype=dtype)
+
+        normal_proj = None
+        if ip_mode:
+            from reflecting_reality_tpu.core.io import load_safetensors, torch_to_flax_params
+            from reflecting_reality_tpu.models.ip_adapter import NormalProjModel
+
+            ip_dir = ip_adapter_path or os.path.join(
+                os.path.dirname(os.path.normpath(brushnet_path)), "ip_adapter"
+            )
+            w = load_safetensors(os.path.join(ip_dir, "normal_proj.safetensors"))
+            proj = NormalProjModel(unet[0].cross_attention_dim, dtype=dtype)
+            normal_proj = (proj, {"params": torch_to_flax_params(w)})
 
         from reflecting_reality_tpu.models.clip_text import load_text_encoder
 
@@ -124,6 +159,7 @@ class StableDiffusionBrushNetPipeline:
             brushnet=brushnet,
             depth_conditioning_mode=depth_conditioning_mode,
             normals_conditioning_mode=normals_conditioning_mode,
+            normal_proj=normal_proj,
             dtype=dtype,
         )
 
@@ -209,13 +245,14 @@ class StableDiffusionBrushNetPipeline:
     def _get_sampler_fn(self, key):
         """One jitted program: scan(denoise) + vae decode.
 
-        key = (shape, steps, scheduler, cfg, guess_mode, deep_cache)."""
+        key = (shape, steps, scheduler, cfg, guess_mode, deep_cache, solver_order)."""
         if key in self._jit_cache:
             return self._jit_cache[key]
         (b, hl, wl, cl), steps, scheduler_name, do_cfg, guess_mode = key[:5]
+        solver_order = key[6] if len(key) > 6 else 2
 
         if scheduler_name == "unipc":
-            sampler = UniPCSampler(self.schedule, steps)
+            sampler = UniPCSampler(self.schedule, steps, solver_order=solver_order)
             timesteps = sampler.timesteps
         elif scheduler_name == "ddim":
             ts = ddim_timesteps(self.schedule.num_train_timesteps, steps)
@@ -233,15 +270,18 @@ class StableDiffusionBrushNetPipeline:
             assert not guess_mode, "deep cache + guess_mode unsupported"
 
         def denoise_and_decode(unet_params, brushnet_params, vae_params,
-                               latents, cond_latents, prompt_embeds, keep_scales):
+                               latents, cond_latents, prompt_embeds,
+                               brushnet_embeds, keep_scales):
+            # brushnet_embeds: plain text tokens — differs from prompt_embeds
+            # only in ip_adapter mode, where the unet sees text + the appended
+            # normal token but the brushnet keeps the 77 text tokens
+            # (reference MirrorFusionModel.forward :858-888).
             cond_latents_b = cond_latents
             if do_cfg and not guess_mode:
                 cond_latents_b = jnp.concatenate([cond_latents, cond_latents], axis=0)
 
             if guess_mode and do_cfg:
-                brushnet_embeds = prompt_embeds[prompt_embeds.shape[0] // 2:]
-            else:
-                brushnet_embeds = prompt_embeds
+                brushnet_embeds = brushnet_embeds[brushnet_embeds.shape[0] // 2:]
 
             def branch_forward(latents, t, cond_scale):
                 """Full dual-branch forward; returns (pred, cache)."""
@@ -393,6 +433,7 @@ class StableDiffusionBrushNetPipeline:
         control_guidance_end: float = 1.0,
         guess_mode: bool = False,
         scheduler: str = "unipc",
+        solver_order: int = 2,
         output_type: str = "np",
         deterministic_vae_encode: bool = False,
     ):
@@ -447,6 +488,7 @@ class StableDiffusionBrushNetPipeline:
             else:
                 raise ValueError(self.depth_conditioning_mode)
 
+        brushnet_embeds = prompt_embeds
         if self.normals_conditioning_mode in ("concat", "latents"):
             assert normals is not None
             normals_np = self.image_processor.preprocess(normals, h, w)
@@ -458,6 +500,36 @@ class StableDiffusionBrushNetPipeline:
             else:
                 nlat = enc(self.vae_params, jnp.asarray(normals_np), rng_nrm)
                 cond = jnp.concatenate([cond, nlat.astype(cond.dtype)], axis=-1)
+        elif self.normals_conditioning_mode == "ip_adapter":
+            # normals = the (1, 3) unit mean-mirror-normal from the dataset's
+            # ip_adapter transform (dataset.py:168-192).  Freq-encode + project
+            # to ONE context token and append it to BOTH CFG halves of the
+            # prompt embeds; the unet's to_k_ip/to_v_ip split consumes it,
+            # the brushnet keeps the plain text tokens.  This follows the
+            # training-time contract (train_brushnet_mirror.py:74-88,858-888);
+            # the reference *pipeline* routes the token through
+            # added_cond_kwargs, which the SD-1.5 unet (encoder_hid_proj=None)
+            # drops — we wire it the way the checkpoints were trained.
+            assert normals is not None, (
+                "normals_conditioning_mode='ip_adapter' needs the (1, 3) mean "
+                "mirror normal as `normals`"
+            )
+            from reflecting_reality_tpu.models.ip_adapter import normal_tokens
+
+            proj_module, proj_params = self.normal_proj
+            normal = np.asarray(normals, np.float32).reshape(-1, 1, 3)
+            tok = normal_tokens(
+                jnp.asarray(normal), proj_params,
+                cross_attention_dim=proj_module.cross_attention_dim,
+                dtype=self.dtype,
+            )  # (1 or B, 1, cross_attention_dim)
+            if tok.shape[0] == 1 and batch_size > 1:
+                tok = jnp.repeat(tok, batch_size, axis=0)
+            if do_cfg:
+                tok = jnp.concatenate([tok, tok], axis=0)
+            prompt_embeds = jnp.concatenate(
+                [prompt_embeds, tok.astype(prompt_embeds.dtype)], axis=1
+            )
 
         # 4. initial latents
         if scheduler == "unipc":
@@ -493,11 +565,12 @@ class StableDiffusionBrushNetPipeline:
             do_cfg,
             guess_mode,
             self._deep_cache,
+            solver_order,
         )
         fn = self._get_sampler_fn(key)
         image_out = fn(
             self.unet_params, self.brushnet_params, self.vae_params,
-            latents0, cond, prompt_embeds,
+            latents0, cond, prompt_embeds, brushnet_embeds,
             {"cond_scale": cond_scale, "guidance_scale": jnp.float32(guidance_scale)},
         )
         if output_type == "latent":

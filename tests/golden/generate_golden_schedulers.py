@@ -28,9 +28,11 @@ SHAPE = (1, 4, 8, 8)
 
 
 def fake_eps(x, t):
-    # Deterministic, timestep- and sample-dependent "model".
+    # Deterministic, timestep- and sample-dependent "model".  Pinned to
+    # float32: numpy-2 promotion would otherwise yield float64 here, and the
+    # reference scheduler's order-3 linalg.solve path is float32-only.
     grid = np.linspace(-1, 1, int(np.prod(SHAPE))).reshape(SHAPE).astype(np.float32)
-    return 0.1 * x + np.sin(0.01 * float(t)) * grid
+    return (0.1 * x + np.sin(0.01 * float(t)) * grid).astype(np.float32)
 
 
 def run_unipc(num_steps, spacing="linspace", steps_offset=0, solver_order=2):
@@ -87,6 +89,9 @@ def main():
     u_ts_20, u_traj_20 = run_unipc(20)
     u_ts_lead, u_traj_lead = run_unipc(10, spacing="leading", steps_offset=1)
     u_ts_o1, u_traj_o1 = run_unipc(10, solver_order=1)
+    u_ts_o3_10, u_traj_o3_10 = run_unipc(10, solver_order=3)
+    u_ts_o3_20, u_traj_o3_20 = run_unipc(20, solver_order=3)
+    u_ts_o3_50, u_traj_o3_50 = run_unipc(50, solver_order=3)
     d_ts, d_traj = run_ddim(20)
     x0, noise, ts, noisy, velocity, acp = run_ddpm_add_noise()
     np.savez_compressed(
@@ -95,6 +100,9 @@ def main():
         unipc_ts_20=u_ts_20, unipc_traj_20=u_traj_20,
         unipc_ts_lead=u_ts_lead, unipc_traj_lead=u_traj_lead,
         unipc_ts_o1=u_ts_o1, unipc_traj_o1=u_traj_o1,
+        unipc_ts_o3_10=u_ts_o3_10, unipc_traj_o3_10=u_traj_o3_10,
+        unipc_ts_o3_20=u_ts_o3_20, unipc_traj_o3_20=u_traj_o3_20,
+        unipc_ts_o3_50=u_ts_o3_50, unipc_traj_o3_50=u_traj_o3_50,
         ddim_ts=d_ts, ddim_traj=d_traj,
         ddpm_x0=x0, ddpm_noise=noise, ddpm_ts=ts, ddpm_noisy=noisy,
         ddpm_velocity=velocity, alphas_cumprod=acp,

@@ -126,6 +126,107 @@ def eval_setup(tmp_path_factory):
     return str(data_dir), str(infer_dir)
 
 
+class TestLPIPSHermetic:
+    """Torch-free LPIPS: npz round-trip + a real number out of compute_metrics
+    in a hermetic env (tiny random weights — correctness of the *values* is
+    the torch-ckpt converter's job; this pins the no-torch runtime path)."""
+
+    @pytest.fixture(scope="class")
+    def npz_weights(self, tmp_path_factory):
+        import jax.numpy as jnp
+
+        from reflecting_reality_tpu.metrics.lpips import LPIPS, save_lpips_npz
+
+        module = LPIPS()
+        params = module.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)),
+        )
+        # LPIPS lin heads are non-negative in the real checkpoint
+        params = jax.tree_util.tree_map(lambda x: np.abs(np.asarray(x)), params)
+        path = str(tmp_path_factory.mktemp("lpips") / "lpips_squeeze.npz")
+        save_lpips_npz(params, path)
+        return path
+
+    def test_npz_roundtrip(self, npz_weights):
+        from reflecting_reality_tpu.metrics.lpips import load_lpips_npz
+
+        params = load_lpips_npz(npz_weights)
+        assert "params" in params
+        assert "conv0" in params["params"]["net"]
+        assert params["params"]["lin0"]["kernel"].shape[-2:] == (64, 1)
+
+    def test_calculator_no_torch(self, npz_weights, monkeypatch):
+        import builtins
+
+        real_import = builtins.__import__
+
+        def no_torch(name, *a, **k):
+            if name == "torch" or name.startswith("torch."):
+                raise ImportError("torch blocked for hermetic test")
+            return real_import(name, *a, **k)
+
+        monkeypatch.setattr(builtins, "__import__", no_torch)
+        calc = MetricsCalculator(["full_LPIPS"], lpips_weights=npz_weights)
+        rng = np.random.RandomState(0)
+        a = (rng.rand(64, 64, 3) * 2 - 1).astype(np.float32)
+        b = (rng.rand(64, 64, 3) * 2 - 1).astype(np.float32)
+        same = calc.calculate_lpips(a, a)
+        diff = calc.calculate_lpips(a, b)
+        assert np.isfinite(same) and np.isfinite(diff)
+        assert abs(same) < 1e-5
+        assert diff > 0
+
+    def test_compute_metrics_real_lpips(self, npz_weights):
+        from reflecting_reality_tpu.metrics.calculator import compute_metrics
+
+        rng = np.random.RandomState(1)
+        pred = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        gt = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        out = compute_metrics(pred, gt, lpips_weights=npz_weights)
+        assert np.isfinite(out["lpips"])
+
+    def test_torch_state_to_npz_converter(self, tmp_path):
+        """load_torch_lpips_state -> save_lpips_npz -> load_lpips_npz gives
+        the same tree as the direct torch-layout conversion."""
+        from reflecting_reality_tpu.metrics.lpips import (
+            LPIPS, load_lpips_npz, load_torch_lpips_state, save_lpips_npz,
+        )
+
+        rng = np.random.RandomState(2)
+
+        def w(c_out, c_in, k):
+            return rng.randn(c_out, c_in, k, k).astype(np.float32)
+
+        state = {"net.features.0.weight": w(64, 3, 3), "net.features.0.bias": rng.randn(64).astype(np.float32)}
+        fires = {3: (16, 64, 64), 4: (16, 128, 64), 6: (32, 128, 128), 7: (32, 256, 128),
+                 9: (48, 256, 192), 10: (48, 384, 192), 11: (64, 384, 256), 12: (64, 512, 256)}
+        for idx, (sq, c_in, ex) in fires.items():
+            state[f"net.features.{idx}.squeeze.weight"] = w(sq, c_in, 1)
+            state[f"net.features.{idx}.squeeze.bias"] = rng.randn(sq).astype(np.float32)
+            state[f"net.features.{idx}.expand1x1.weight"] = w(ex, sq, 1)
+            state[f"net.features.{idx}.expand1x1.bias"] = rng.randn(ex).astype(np.float32)
+            state[f"net.features.{idx}.expand3x3.weight"] = w(ex, sq, 3)
+            state[f"net.features.{idx}.expand3x3.bias"] = rng.randn(ex).astype(np.float32)
+        for i, ch in enumerate((64, 128, 256, 384, 384, 512, 512)):
+            state[f"lin{i}.model.1.weight"] = np.abs(w(1, ch, 1))
+
+        params = load_torch_lpips_state(state)
+        path = str(tmp_path / "w.npz")
+        save_lpips_npz(params, path)
+        loaded = load_lpips_npz(path)
+        flat_a = jax.tree_util.tree_leaves(params)
+        flat_b = jax.tree_util.tree_leaves(loaded)
+        assert len(flat_a) == len(flat_b)
+        for x, y in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        # and the loaded weights actually run through the module
+        module = LPIPS()
+        out = module.apply(loaded, np.zeros((1, 64, 64, 3), np.float32),
+                           np.ones((1, 64, 64, 3), np.float32) * 0.5)
+        assert np.isfinite(float(out))
+
+
 class TestEvaluatePipeline:
     def test_calc_best_avg(self, eval_setup):
         import pandas as pd

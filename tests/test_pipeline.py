@@ -106,6 +106,92 @@ class TestPipeline:
         assert out.shape == (1, H, W, 3)
 
 
+@pytest.fixture(scope="module")
+def ip_pipe():
+    """Tiny ip_adapter-mode pipeline: unet with ip_num_tokens=4 decoupled
+    cross-attention + NormalProjModel (reference wiring
+    train_brushnet_mirror.py:74-88,1085-1123)."""
+    from reflecting_reality_tpu.models.ip_adapter import (
+        NORMALS_EMBED_DIM, NormalProjModel,
+    )
+
+    cfg = dict(
+        block_out_channels=(8, 16, 16, 16),
+        attention_head_dim=2,
+        cross_attention_dim=32,
+        norm_num_groups=4,
+        layers_per_block=2,
+    )
+    unet = UNet2DConditionModel(sample_size=8, ip_num_tokens=4, ip_scale=1.0, **cfg)
+    brushnet = BrushNetModel(conditioning_channels=6, **cfg)
+    vae = AutoencoderKL(block_out_channels=(8, 8, 8, 8), norm_num_groups=4)
+    text = CLIPTextModel(
+        vocab_size=1000, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+    )
+    rngs = jax.random.split(jax.random.PRNGKey(0), 5)
+    sample = jnp.zeros((1, 8, 8, 4))
+    t = jnp.array([1])
+    ehs_ip = jnp.zeros((1, 78, 32))  # 77 text + 1 normal token
+    uparams = unet.init(rngs[0], sample, t, ehs_ip)
+    bparams = brushnet.init(rngs[1], sample, t, jnp.zeros((1, 77, 32)),
+                            jnp.zeros((1, 8, 8, 6)))
+    vparams = vae.init(rngs[2], jnp.zeros((1, H, W, 3)), jax.random.PRNGKey(9))
+    tparams = text.init(rngs[3], jnp.zeros((1, 77), jnp.int32))
+    proj = NormalProjModel(cross_attention_dim=32)
+    pparams = proj.init(rngs[4], jnp.zeros((1, 1, NORMALS_EMBED_DIM)))
+    return StableDiffusionBrushNetPipeline(
+        vae=(vae, vparams),
+        text_encoder=(text, tparams),
+        tokenizer=HashTokenizer(vocab_size=1000),
+        unet=(unet, uparams),
+        brushnet=(brushnet, bparams),
+        depth_conditioning_mode="concat",
+        normals_conditioning_mode="ip_adapter",
+        normal_proj=(proj, pparams),
+    )
+
+
+class TestIPAdapterPipeline:
+    def test_end_to_end_and_determinism(self, ip_pipe):
+        image, mask, depth = _inputs()
+        normal = np.asarray([[0.0, 0.0, 1.0]], np.float32)  # (1, 3)
+        kwargs = dict(
+            prompt="a mirror", image=image, mask=mask, depth=depth,
+            normals=normal, num_inference_steps=2, guidance_scale=7.5, seed=3,
+        )
+        out1 = ip_pipe(**kwargs)
+        out2 = ip_pipe(**kwargs)
+        assert out1.shape == (1, H, W, 3)
+        np.testing.assert_array_equal(out1, out2)
+
+    def test_normal_token_changes_output(self, ip_pipe):
+        """The projected normal must flow through to_k_ip/to_v_ip into the
+        result: two different mirror normals -> different images."""
+        image, mask, depth = _inputs()
+        a = ip_pipe(prompt="m", image=image, mask=mask, depth=depth,
+                    normals=np.asarray([[0.0, 0.0, 1.0]], np.float32),
+                    num_inference_steps=2, seed=0)
+        b = ip_pipe(prompt="m", image=image, mask=mask, depth=depth,
+                    normals=np.asarray([[1.0, 0.0, 0.0]], np.float32),
+                    num_inference_steps=2, seed=0)
+        assert np.abs(a.astype(int) - b.astype(int)).max() > 0
+
+    def test_requires_normals(self, ip_pipe):
+        image, mask, depth = _inputs()
+        with pytest.raises(AssertionError):
+            ip_pipe(prompt="m", image=image, mask=mask, depth=depth,
+                    num_inference_steps=2, seed=0)
+
+    def test_requires_normal_proj(self):
+        with pytest.raises(ValueError):
+            StableDiffusionBrushNetPipeline(
+                vae=(None, None), text_encoder=(None, None), tokenizer=None,
+                unet=(None, None), brushnet=(None, None),
+                normals_conditioning_mode="ip_adapter",
+            )
+
+
 def test_guess_mode_smoke(pipe):
     """guess_mode: brushnet on the cond half only, uncond half zero-padded
     (reference pipeline_brushnet.py:1260-1295)."""

@@ -146,6 +146,35 @@ class TestDDIM:
             )
 
 
+class TestUniPCOrder3:
+    """Golden parity at solver_order=3 (reference supports up to 3; full
+    3-deep history + 3x3 rhos solve, scheduling_unipc_multistep.py:562-753)."""
+
+    @pytest.mark.parametrize("steps", [10, 20, 50])
+    def test_order3_trajectory(self, golden, steps):
+        key_ts, key_traj = f"unipc_ts_o3_{steps}", f"unipc_traj_o3_{steps}"
+        if key_traj not in golden:
+            pytest.skip("order-3 golden not generated")
+        sched = sd_schedule()
+        sampler = UniPCSampler(sched, steps, solver_order=3)
+        np.testing.assert_array_equal(np.asarray(sampler.timesteps), golden[key_ts])
+        x = jnp.asarray(golden[key_traj][0])
+        state = sampler.init_state(x)
+        for i, t in enumerate(np.asarray(sampler.timesteps)):
+            eps = jnp.asarray(fake_eps(np.asarray(x), t))
+            x, state = sampler.step(eps, i, x, state)
+            np.testing.assert_allclose(
+                np.asarray(x), golden[key_traj][i + 1],
+                rtol=1e-3, atol=3e-4, err_msg=f"step {i} (t={t})",
+            )
+
+    def test_order3_differs_from_order2(self, golden):
+        """Sanity: the 3rd-order terms actually engage."""
+        if "unipc_traj_o3_20" not in golden:
+            pytest.skip("order-3 golden not generated")
+        assert np.abs(golden["unipc_traj_o3_20"][-1] - golden["unipc_traj_20"][-1]).max() > 1e-6
+
+
 class TestUniPCOrder1:
     def test_order1_trajectory(self, golden):
         if "unipc_traj_o1" not in golden:
