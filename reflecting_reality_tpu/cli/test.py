@@ -19,6 +19,7 @@ import numpy as np
 from reflecting_reality_tpu.data.synmirror import (
     MIRROR_PROMPT,
     apply_transforms_depth,
+    apply_transforms_normals,
     extract_data_from_hdf5,
 )
 from reflecting_reality_tpu.parallel.mesh import split_between_processes
@@ -98,6 +99,14 @@ def run_inference(args, brushnet_path: str, output_dir: str, test_df) -> None:
     )
     os.makedirs(output_dir, exist_ok=True)
 
+    summarize = None
+    if args.summarizer:
+        # long-caption summarization before CLIP (reference test_brushnet.py
+        # :128-131,192-193: distilbart over the prefixed prompt)
+        from reflecting_reality_tpu.tools.summarize_captions import summarize_fn
+
+        summarize = summarize_fn(args.summarizer)
+
     indices = split_between_processes(list(range(len(test_df))))
     for index in indices:
         row = test_df.iloc[index]
@@ -106,6 +115,8 @@ def run_inference(args, brushnet_path: str, output_dir: str, test_df) -> None:
         depth_image = None
         normal_image = None
         prompt = args.mirror_prompt + caption
+        if summarize is not None:
+            prompt = summarize(prompt)
 
         if args.image_mode:
             img_path = os.path.join(args.train_data_dir, "images", str(row["path"]))
@@ -152,15 +163,25 @@ def run_inference(args, brushnet_path: str, output_dir: str, test_df) -> None:
                 )
             if args.normals_conditioning_mode is not None:
                 if args.normal_source == "gt":
-                    normal_image = Image.fromarray(data["normals"], mode="RGB")
+                    raw_normals = data["normals"]
                 else:
-                    nd = read_from_geowizard(
+                    raw_normals = read_from_geowizard(
                         args.geometric_input_data_dir, uid, f_name, mode="normal"
                     )
-                    if nd is None:
+                    if raw_normals is None:
                         logger.error("geowizard normals missing for %s_%s", uid, f_name)
                         continue
-                    normal_image = Image.fromarray(nd, mode="RGB")
+                if args.normals_conditioning_mode == "ip_adapter":
+                    # (1, 3) unit mean mirror normal, not an image
+                    # (dataset.py:168-192 ip_adapter transform)
+                    normal_image = apply_transforms_normals(
+                        raw_normals, mask=data["mask"],
+                        normals_conditioning_mode="ip_adapter",
+                    )
+                else:
+                    normal_image = Image.fromarray(
+                        np.asarray(raw_normals, np.uint8), mode="RGB"
+                    )
 
         out_path = os.path.join(output_dir, out_name)
         if os.path.exists(out_path):  # idempotent restart (reference :182-185)
@@ -237,7 +258,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--CFG", type=float, default=7.5)
     p.add_argument("--mirror_prompt", type=str, default=MIRROR_PROMPT)
-    p.add_argument("--summarizer", type=str, default=None)
+    p.add_argument("--summarizer", type=str, default=None,
+                   help="summarization model for long prompts, e.g. "
+                        "sshleifer/distilbart-cnn-6-6 (reference :298-301)")
     p.add_argument("--num_images_per_validation", type=int, default=4)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num_samples", type=int, default=None)

@@ -185,8 +185,13 @@ def main(argv=None):
     mesh = make_mesh()
     n_dev = len(mesh.devices.flatten())
     global_batch = args.train_batch_size * n_dev
+    # Multi-host: every process reads only its slice of each global batch
+    # (one-loader-per-rank semantics, reference :1242-1269); shard_batch in
+    # prefetch_to_device reassembles the slices into global arrays.
     loader = DataLoader(dataset, global_batch, shuffle=True,
-                        num_workers=args.dataloader_num_workers or 8, seed=args.seed or 0)
+                        num_workers=args.dataloader_num_workers or 8, seed=args.seed or 0,
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count())
 
     config = TrainConfig(
         learning_rate=args.learning_rate,
@@ -323,6 +328,13 @@ def run_validation(args, state, unet_module, brushnet_module, vae, text,
     else:
         df = df.iloc[: args.num_validation_images]
 
+    summarize = None
+    if args.summarizer:
+        # validation-prompt summarization (reference :948-951,213-214)
+        from reflecting_reality_tpu.tools.summarize_captions import summarize_fn
+
+        summarize = summarize_fn(args.summarizer)
+
     def stamp(img_arr, psnr, ssim):
         """Annotate scores onto the image (reference :239-242)."""
         from PIL import ImageDraw
@@ -361,6 +373,8 @@ def run_validation(args, state, unet_module, brushnet_module, vae, text,
                 normals_conditioning_mode="ip_adapter",
             )  # (1, 3) unit mean mirror normal
         prompt = args.mirror_prompt + str(row[args.caption_column])
+        if summarize is not None:
+            prompt = summarize(prompt)
         scores = []
         for k in range(args.num_images_per_validation):
             out = pipe(
@@ -406,7 +420,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--revision", type=str, default=None)
     p.add_argument("--variant", type=str, default=None)
     p.add_argument("--tokenizer_name", type=str, default=None)
-    p.add_argument("--summarizer", type=str, default=None)
+    p.add_argument("--summarizer", type=str, default=None,
+                   help="summarization model for long validation prompts, "
+                        "e.g. sshleifer/distilbart-cnn-6-6 (reference :395-398)")
     # io
     p.add_argument("--output_dir", type=str, default="runs/brushnet-model")
     p.add_argument("--cache_dir", type=str, default=None)
@@ -440,8 +456,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mixed_precision", type=str, default="no",
                    choices=["no", "fp16", "bf16"])
     p.add_argument("--use_ema", action="store_true")
-    p.add_argument("--set_grads_to_none", action="store_true")
-    p.add_argument("--enable_xformers_memory_efficient_attention", action="store_true")
+    p.add_argument("--set_grads_to_none", action="store_true",
+                   help="accepted for reference-CLI compatibility; a no-op "
+                        "here (optax has no grad buffers to zero)")
+    p.add_argument("--enable_xformers_memory_efficient_attention", action="store_true",
+                   help="accepted for reference-CLI compatibility; a no-op "
+                        "here (attention backend is XLA/Pallas, see "
+                        "ops.attention.set_attention_backend)")
     # data
     p.add_argument("--dataset_name", type=str, default=None)
     p.add_argument("--dataset_config_name", type=str, default=None)

@@ -26,16 +26,31 @@ def collate(examples) -> Dict[str, np.ndarray]:
 
 
 class DataLoader:
-    """Shuffling, dropping-last, thread-parallel batch loader."""
+    """Shuffling, dropping-last, thread-parallel batch loader.
+
+    Multi-host: `batch_size` is always the GLOBAL batch; with
+    process_count > 1 every host draws the same shuffled order (same seed)
+    and reads only its contiguous slice of each global batch — the
+    one-DataLoader-per-rank semantics the reference gets from torch's
+    DistributedSampler under Accelerate (train_brushnet_mirror.py:1242-1269).
+    The per-host slices are reassembled into one global device array by
+    parallel.mesh.shard_batch (jax.make_array_from_process_local_data)."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 num_workers: int = 8, seed: int = 0, drop_last: bool = True):
+                 num_workers: int = 8, seed: int = 0, drop_last: bool = True,
+                 process_index: int = 0, process_count: int = 1):
+        assert batch_size % max(process_count, 1) == 0, (
+            f"global batch {batch_size} not divisible by process_count {process_count}"
+        )
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = max(process_count, 1)
+        self.local_batch_size = batch_size // self.process_count
         self.epoch = 0
 
     def __len__(self):
@@ -50,11 +65,12 @@ class DataLoader:
             rng.shuffle(order)
         self.epoch += 1
 
+        lo = self.process_index * self.local_batch_size
         stop = n - (n % self.batch_size) if self.drop_last else n
         with ThreadPoolExecutor(self.num_workers) as pool:
             pending = []
             for start in range(0, stop, self.batch_size):
-                idxs = order[start : start + self.batch_size]
+                idxs = order[start + lo : start + lo + self.local_batch_size]
                 pending.append(pool.map(self.dataset.__getitem__, idxs))
                 # keep 2 batches in flight
                 if len(pending) > 2:

@@ -59,6 +59,7 @@ class MetricsCalculator:
         self.norm_range = norm_range
         self.data_dir = data_dir
         self.cache_dir = cache_dir
+        self.ckpt_path = ckpt_path
         self.extra_scorers = extra_scorers or {}
         self._lpips = None
         self._lpips_weights = lpips_weights
@@ -149,10 +150,23 @@ class MetricsCalculator:
             return self.calculate_ssim(pred_orig, gt_orig)
         if metric_name in self.extra_scorers:
             return self.extra_scorers[metric_name](gen_image, caption)
-        if metric_name in ("CLIP_Similarity", "Aesthetic_Score", "Image_Reward", "HPS_V2.1"):
+        if metric_name in ("Image_Reward", "HPS_V2.1"):
+            # lazy torch-gated adapters, like SAM (reference loads these
+            # models in the MetricsCalculator ctor, metrics.py:86-106)
+            from reflecting_reality_tpu.metrics.reward_models import (
+                build_hps, build_image_reward,
+            )
+
+            if metric_name == "Image_Reward":
+                self.extra_scorers[metric_name] = build_image_reward(self.ckpt_path)
+            else:
+                self.extra_scorers[metric_name] = build_hps()
+            return self.extra_scorers[metric_name](gen_image, caption)
+        if metric_name in ("CLIP_Similarity", "Aesthetic_Score"):
             raise RuntimeError(
-                f"{metric_name} needs an external scorer model; pass it via "
-                "extra_scorers={name: fn(image, caption) -> float}"
+                f"{metric_name} needs an external scorer model; build it with "
+                "metrics.scorers.build_extra_scorers(clip_path, aesthetic_head) "
+                "or pass extra_scorers={name: fn(image, caption) -> float}"
             )
         raise ValueError(f"Unsupported metric {metric_name}")
 

@@ -2,11 +2,22 @@
 metrics/metrics.py:196-209; semantics reproduced here so the whole eval sweep
 can run batched on TPU).
 
-- psnr: 10·log10(data_range² / mse); data_range defaults to the target's
-  max-min (torchmetrics PeakSignalNoiseRatio data_range=None behavior).
-- ssim: gaussian kernel 11, sigma 1.5, k1=0.01, k2=0.03; data_range defaults
-  to max(range(pred), range(target)) (torchmetrics SSIM default); per-channel
-  maps averaged (reduction='elementwise_mean').
+Exact protocol target: torchmetrics==1.4.0.post0 (the reference's pin,
+examples/brushnet/requirements.txt:19), functional API with default args —
+the calls the reference makes are `peak_signal_noise_ratio(pred, gt)` and
+`structural_similarity_index_measure(pred, gt)` with NO data_range:
+
+- psnr: 10·log10(data_range² / mse); data_range=None resolves to the TARGET's
+  max-min (torchmetrics 1.4 functional/image/psnr.py: `data_range =
+  target.max() - target.min()`).  On near-constant crops (mask_* families)
+  this is the observed target range, NOT 255 — matching the reference
+  protocol exactly; tests/test_metrics.py pins this on a near-constant
+  fixture against an independent numpy implementation.
+- ssim: gaussian kernel 11, sigma 1.5, k1=0.01, k2=0.03; data_range=None
+  resolves to max(range(pred), range(target)) (torchmetrics 1.4
+  functional/image/ssim.py).  torchmetrics reflect-pads, convolves, then
+  crops the pad back — arithmetically identical to the VALID depthwise conv
+  used here; per-pixel maps averaged (reduction='elementwise_mean').
 - iou: boolean intersection-over-union (metrics/metrics.py:184-189).
 
 Inputs are NHWC or HWC arrays of any float/int range.

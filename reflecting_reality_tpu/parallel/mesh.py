@@ -35,10 +35,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data"):
-    """Put a host batch dict onto the mesh, sharded along the batch dim."""
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data",
+                from_process_local: Optional[bool] = None):
+    """Put a host batch dict onto the mesh, sharded along the batch dim.
+
+    Single-host: a plain sharded device_put of the global batch.
+    Multi-host (process_count > 1, or forced via `from_process_local`): each
+    host holds only its LOCAL slice of the global batch (see
+    data.loader.DataLoader process striding); the slices are assembled into
+    one global jax.Array with jax.make_array_from_process_local_data — the
+    TPU-native equivalent of the reference's per-rank DataLoader + DDP
+    (train_brushnet_mirror.py:1242-1269)."""
     sh = batch_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if from_process_local is None:
+        from_process_local = jax.process_count() > 1
+    if not from_process_local:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(), *x.shape[1:])
+        return jax.make_array_from_process_local_data(sh, x, global_shape)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate_tree(tree, mesh: Mesh):

@@ -410,6 +410,105 @@ class StableDiffusionBrushNetPipeline:
         self._jit_cache[key] = fn
         return fn
 
+    def _get_per_step_fns(self, key):
+        """(sampler, step_fn, decode_fn) for per-step dispatch.
+
+        One SMALL jitted program per denoise step plus one jitted decode,
+        instead of the single 50-step scan: at 1024² (16384 latent tokens) the
+        scan's XLA compile takes >30 min through the relay, while the
+        single-step program compiles in ~1 min and each dispatch costs only
+        the relay latency.  Reference behavior target: the Python denoise loop
+        at pipeline_brushnet.py:1249-1332.  deep_cache needs the scan path."""
+        ckey = ("per_step",) + key
+        if ckey in self._jit_cache:
+            return self._jit_cache[ckey]
+        (b, hl, wl, cl), steps, scheduler_name, do_cfg, guess_mode = key[:5]
+        solver_order = key[6] if len(key) > 6 else 2
+        assert self._deep_cache is None, "deep_cache requires dispatch='scan'"
+
+        if scheduler_name == "unipc":
+            sampler = UniPCSampler(self.schedule, steps, solver_order=solver_order)
+            timesteps = sampler.timesteps
+            prev_ts = None
+        elif scheduler_name == "ddim":
+            ts = ddim_timesteps(self.schedule.num_train_timesteps, steps)
+            timesteps = jnp.asarray(ts, dtype=jnp.int32)
+            prev_ts = jnp.concatenate(
+                [timesteps[1:], jnp.full((1,), -1, dtype=jnp.int32)]
+            )
+            sampler = None
+        else:
+            raise ValueError(scheduler_name)
+
+        unet_apply = self.unet_module.apply
+        brushnet_apply = self.brushnet_module.apply
+        vae_module = self.vae_module
+        vae_tiling = self._vae_tiling
+
+        def step_fn(unet_params, brushnet_params, latents, state,
+                    cond_latents, prompt_embeds, brushnet_embeds, i, keep_scales):
+            t = timesteps[i]
+            cond_scale = keep_scales["cond_scale"][i]
+            cond_latents_b = cond_latents
+            if do_cfg and not guess_mode:
+                cond_latents_b = jnp.concatenate([cond_latents, cond_latents], axis=0)
+            bn_embeds = brushnet_embeds
+            if guess_mode and do_cfg:
+                bn_embeds = brushnet_embeds[brushnet_embeds.shape[0] // 2:]
+
+            latent_in = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
+            control_in = latents if (guess_mode and do_cfg) else latent_in
+            down, mid, up = brushnet_apply(
+                brushnet_params,
+                control_in.astype(self.dtype),
+                t,
+                bn_embeds.astype(self.dtype),
+                cond_latents_b.astype(self.dtype)
+                if not (guess_mode and do_cfg) else cond_latents.astype(self.dtype),
+                conditioning_scale=cond_scale,
+                guess_mode=guess_mode,
+            )
+            if guess_mode and do_cfg:
+                down = [jnp.concatenate([jnp.zeros_like(d), d], axis=0) for d in down]
+                mid = jnp.concatenate([jnp.zeros_like(mid), mid], axis=0)
+                up = [jnp.concatenate([jnp.zeros_like(u), u], axis=0) for u in up]
+            pred = unet_apply(
+                unet_params,
+                latent_in.astype(self.dtype),
+                t,
+                prompt_embeds.astype(self.dtype),
+                down_block_add_samples=down,
+                mid_block_add_sample=mid,
+                up_block_add_samples=up,
+            )
+            if do_cfg:
+                uncond, text = jnp.split(pred, 2, axis=0)
+                pred = uncond + keep_scales["guidance_scale"] * (text - uncond)
+
+            if scheduler_name == "unipc":
+                latents, state = sampler.step(pred, i, latents, state)
+            else:
+                latents = ddim_step(self.schedule, pred, t, prev_ts[i], latents)
+            return latents, state
+
+        def decode_fn(vae_params, latents):
+            z = (latents / self.scaling_factor).astype(self.dtype)
+            if vae_tiling is not None:
+                from reflecting_reality_tpu.parallel.sharded_vae import tiled_decode
+
+                image = tiled_decode(
+                    vae_module, vae_params, z,
+                    num_tiles=vae_tiling[0], overlap=vae_tiling[1],
+                    scale=self.vae_scale_factor,
+                )
+            else:
+                image = vae_module.apply(vae_params, z, method=vae_module.decode)
+            return image.astype(jnp.float32)
+
+        fns = (sampler, jax.jit(step_fn), jax.jit(decode_fn))
+        self._jit_cache[ckey] = fns
+        return fns
+
     # ----------------------------------------------------------------- call
 
     def __call__(
@@ -434,6 +533,7 @@ class StableDiffusionBrushNetPipeline:
         guess_mode: bool = False,
         scheduler: str = "unipc",
         solver_order: int = 2,
+        dispatch: str = "scan",                 # "scan" | "per_step"
         output_type: str = "np",
         deterministic_vae_encode: bool = False,
     ):
@@ -567,12 +667,28 @@ class StableDiffusionBrushNetPipeline:
             self._deep_cache,
             solver_order,
         )
-        fn = self._get_sampler_fn(key)
-        image_out = fn(
-            self.unet_params, self.brushnet_params, self.vae_params,
-            latents0, cond, prompt_embeds, brushnet_embeds,
-            {"cond_scale": cond_scale, "guidance_scale": jnp.float32(guidance_scale)},
-        )
+        keep_scales = {"cond_scale": cond_scale,
+                       "guidance_scale": jnp.float32(guidance_scale)}
+        if dispatch == "per_step":
+            # per-step dispatch for high-res configs whose scan would take
+            # tens of minutes to compile (see _get_per_step_fns)
+            sampler, step_fn, decode_fn = self._get_per_step_fns(key)
+            state = sampler.init_state(latents0) if sampler is not None else None
+            lat = latents0
+            for i in range(num_inference_steps):
+                lat, state = step_fn(
+                    self.unet_params, self.brushnet_params, lat, state,
+                    cond, prompt_embeds, brushnet_embeds, jnp.int32(i), keep_scales,
+                )
+            image_out = decode_fn(self.vae_params, lat)
+        elif dispatch == "scan":
+            fn = self._get_sampler_fn(key)
+            image_out = fn(
+                self.unet_params, self.brushnet_params, self.vae_params,
+                latents0, cond, prompt_embeds, brushnet_embeds, keep_scales,
+            )
+        else:
+            raise ValueError(dispatch)
         if output_type == "latent":
             return np.asarray(image_out)
         return self.image_processor.postprocess(np.asarray(image_out), output_type=output_type)

@@ -154,3 +154,55 @@ class TestHDF5Dataset:
                          proportion_empty_prompts=1.0, seed=0)
         ex = ds[0]
         np.testing.assert_array_equal(ex["input_ids"], tok([""])[0])
+
+
+class _ArrayDataset:
+    """Trivial dataset: index -> {"x": [i, i, i, i]}."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"x": np.full((4,), float(i), np.float32)}
+
+
+class TestMultiHostLoader:
+    """Process-strided loading (reference one-DataLoader-per-DDP-rank
+    semantics, train_brushnet_mirror.py:1242-1269): two fake processes'
+    slices must reassemble into exactly the single-process global batch."""
+
+    def test_two_processes_union_equals_global(self):
+        ds = _ArrayDataset(32)
+        kw = dict(batch_size=8, shuffle=True, num_workers=1, seed=5)
+        global_batches = list(DataLoader(ds, **kw))
+        p0 = list(DataLoader(ds, process_index=0, process_count=2, **kw))
+        p1 = list(DataLoader(ds, process_index=1, process_count=2, **kw))
+        assert len(global_batches) == len(p0) == len(p1) == 4
+        for g, a, b in zip(global_batches, p0, p1):
+            assert a["x"].shape == (4, 4) and b["x"].shape == (4, 4)
+            np.testing.assert_array_equal(
+                np.concatenate([a["x"], b["x"]], axis=0), g["x"]
+            )
+
+    def test_divisibility_enforced(self):
+        with pytest.raises(AssertionError):
+            DataLoader(_ArrayDataset(8), batch_size=9, process_count=2)
+
+    def test_shard_batch_from_process_local(self):
+        """jax.make_array_from_process_local_data assembly path (single
+        process: local == global) must equal the device_put path, with the
+        same sharding layout."""
+        import jax
+
+        from reflecting_reality_tpu.parallel.mesh import make_mesh, shard_batch
+
+        mesh = make_mesh(8)
+        batch = {"x": np.arange(8 * 4, dtype=np.float32).reshape(8, 4)}
+        a = shard_batch(batch, mesh)
+        b = shard_batch(batch, mesh, from_process_local=True)
+        np.testing.assert_array_equal(np.asarray(a["x"]), np.asarray(b["x"]))
+        assert b["x"].sharding.spec == a["x"].sharding.spec
+        assert len(b["x"].addressable_shards) == 8

@@ -126,6 +126,124 @@ def eval_setup(tmp_path_factory):
     return str(data_dir), str(infer_dir)
 
 
+def _np_gauss(size=11, sigma=1.5):
+    c = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    g = np.exp(-(c**2) / (2 * sigma**2))
+    g /= g.sum()
+    return np.outer(g, g)
+
+
+def _np_filt(x, k):
+    """Valid depthwise 2-D convolution via sliding windows (HWC)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    w = sliding_window_view(x, (k.shape[0], k.shape[1]), axis=(0, 1))
+    return np.einsum("hwcij,ij->hwc", w, k)
+
+
+def _np_psnr(pred, target):
+    """torchmetrics 1.4 functional PSNR, data_range=None: range of TARGET."""
+    pred, target = pred.astype(np.float64), target.astype(np.float64)
+    dr = target.max() - target.min()
+    mse = np.mean((pred - target) ** 2)
+    return 10.0 * np.log10(dr**2 / mse)
+
+
+def _np_ssim(pred, target):
+    """torchmetrics 1.4 functional SSIM, data_range=None, gaussian 11/1.5."""
+    pred, target = pred.astype(np.float64), target.astype(np.float64)
+    dr = max(pred.max() - pred.min(), target.max() - target.min())
+    c1, c2 = (0.01 * dr) ** 2, (0.03 * dr) ** 2
+    k = _np_gauss()
+    mu_p, mu_t = _np_filt(pred, k), _np_filt(target, k)
+    s_p = _np_filt(pred * pred, k) - mu_p**2
+    s_t = _np_filt(target * target, k) - mu_t**2
+    s_pt = _np_filt(pred * target, k) - mu_p * mu_t
+    num = (2 * mu_p * mu_t + c1) * (2 * s_pt + c2)
+    den = (mu_p**2 + mu_t**2 + c1) * (s_p + s_t + c2)
+    return float(np.mean(num / den))
+
+
+class TestTorchmetricsProtocol:
+    """Pin PSNR/SSIM to the torchmetrics==1.4.0.post0 functional defaults the
+    reference calls (metrics/metrics.py:196-209) against an independent numpy
+    implementation — including a near-constant mask_* style crop, where the
+    data_range=None resolution (observed target range, not 255) matters most
+    (VERDICT weak item 5)."""
+
+    def _pairs(self):
+        rng = np.random.RandomState(7)
+        full_gt = (rng.rand(64, 64, 3) * 255).astype(np.float32)
+        full_pred = np.clip(full_gt + rng.randn(64, 64, 3) * 12, 0, 255).astype(np.float32)
+        # near-constant crop: mostly-zero images with a small lit patch
+        const_gt = np.zeros((64, 64, 3), np.float32)
+        const_gt[28:36, 28:36] = 37.0
+        const_pred = const_gt.copy()
+        const_pred[28:36, 28:36] = 35.0
+        const_pred[10, 10] = 1.0
+        return [("full", full_pred, full_gt), ("near_constant", const_pred, const_gt)]
+
+    def test_psnr_matches_torchmetrics_protocol(self):
+        for name, pred, gt in self._pairs():
+            got = float(psnr(pred, gt))
+            want = _np_psnr(pred, gt)
+            np.testing.assert_allclose(got, want, rtol=1e-4, err_msg=name)
+
+    def test_ssim_matches_torchmetrics_protocol(self):
+        for name, pred, gt in self._pairs():
+            got = float(ssim(pred, gt))
+            want = _np_ssim(pred, gt)
+            np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5, err_msg=name)
+
+    def test_near_constant_uses_observed_range(self):
+        """data_range must be the observed target range (37 here), NOT 255:
+        pinning the exact reference protocol on mask_* style crops."""
+        _, pred, gt = self._pairs()[1]
+        got = float(psnr(pred, gt))
+        mse = np.mean((pred.astype(np.float64) - gt.astype(np.float64)) ** 2)
+        assert abs(got - 10 * np.log10(37.0**2 / mse)) < 1e-3
+        assert abs(got - 10 * np.log10(255.0**2 / mse)) > 1.0
+
+
+class TestRewardAdapters:
+    """Image_Reward / HPS_V2.1 adapters: torch-gated like SAM — the calculator
+    must route through reward_models and surface actionable errors when the
+    external packages are missing (reference loads them in its ctor,
+    metrics/metrics.py:86-106)."""
+
+    def test_image_reward_routes_through_adapter(self, monkeypatch):
+        import sys
+        import types
+
+        calls = {}
+
+        fake_rm = types.ModuleType("ImageReward")
+
+        class _Model:
+            def score(self, caption, pil):
+                calls["caption"] = caption
+                calls["size"] = pil.size
+                return 0.75
+
+        fake_rm.load = lambda name, download_root=None: _Model()
+        monkeypatch.setitem(sys.modules, "ImageReward", fake_rm)
+
+        calc = MetricsCalculator(["Image_Reward"])
+        img = np.zeros((32, 32, 3), np.uint8)
+        gt_data = {"image": img, "masked_image": img, "mask": np.zeros((32, 32), np.uint8)}
+        out = calc.compute_metric("Image_Reward", img, gt_data, "a caption")
+        assert out == 0.75
+        assert calls["caption"] == "a caption"
+        assert calls["size"] == (32, 32)
+
+    def test_missing_package_raises_actionable(self):
+        calc = MetricsCalculator(["HPS_V2.1"])
+        img = np.zeros((8, 8, 3), np.uint8)
+        gt_data = {"image": img, "masked_image": img, "mask": np.zeros((8, 8), np.uint8)}
+        with pytest.raises(RuntimeError, match="hpsv2"):
+            calc.compute_metric("HPS_V2.1", img, gt_data, "c")
+
+
 class TestLPIPSHermetic:
     """Torch-free LPIPS: npz round-trip + a real number out of compute_metrics
     in a hermetic env (tiny random weights — correctness of the *values* is

@@ -192,6 +192,33 @@ class TestIPAdapterPipeline:
             )
 
 
+class TestPerStepDispatch:
+    """dispatch='per_step' (small jitted step + jitted decode, for high-res
+    configs whose 50-step scan would compile for tens of minutes) must match
+    the scan path."""
+
+    @pytest.mark.parametrize("scheduler", ["unipc", "ddim"])
+    def test_matches_scan(self, pipe, scheduler):
+        image, mask, depth = _inputs()
+        kwargs = dict(
+            prompt="a mirror", image=image, mask=mask, depth=depth,
+            num_inference_steps=3, guidance_scale=7.5, seed=11,
+            scheduler=scheduler,
+        )
+        a = pipe(dispatch="scan", **kwargs)
+        b = pipe(dispatch="per_step", **kwargs)
+        np.testing.assert_allclose(
+            a.astype(np.float32), b.astype(np.float32), atol=1.0
+        )  # uint8: allow 1 quantization step of fp reassociation noise
+
+    def test_guess_mode_per_step(self, pipe):
+        image, mask, depth = _inputs()
+        out = pipe(prompt="m", image=image, mask=mask, depth=depth,
+                   num_inference_steps=2, guidance_scale=7.5, seed=0,
+                   guess_mode=True, dispatch="per_step")
+        assert out.shape == (1, H, W, 3)
+
+
 def test_guess_mode_smoke(pipe):
     """guess_mode: brushnet on the cond half only, uncond half zero-padded
     (reference pipeline_brushnet.py:1260-1295)."""

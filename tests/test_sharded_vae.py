@@ -9,7 +9,11 @@ import pytest
 
 from reflecting_reality_tpu.models.vae import AutoencoderKL
 from reflecting_reality_tpu.parallel.mesh import make_mesh
-from reflecting_reality_tpu.parallel.sharded_vae import sharded_decode, tiled_decode
+from reflecting_reality_tpu.parallel.sharded_vae import (
+    sharded_decode,
+    sharded_decode_exact,
+    tiled_decode,
+)
 
 
 @pytest.fixture(scope="module")
@@ -44,6 +48,41 @@ def test_sharded_matches_tiled(vae_and_latent):
     out_t = tiled_decode(vae, params, z, num_tiles=8, overlap=8)
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_t),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_exact_sharded_matches_full(vae_and_latent):
+    """The psum-GroupNorm + halo-exchange path must reproduce the unsharded
+    decode to fp32 reassociation noise (BASELINE config #5 exact variant)."""
+    vae, params, z, full = vae_and_latent
+    mesh = make_mesh(8)
+    out = jax.jit(lambda p, z: sharded_decode_exact(vae, p, z, mesh))(params, z)
+    assert out.shape == full.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_exact_sharded_channel_change_and_batch(vae_and_latent):
+    """Exercise conv_shortcut (channel-changing resnets) + batch > 1."""
+    vae = AutoencoderKL(block_out_channels=(4, 8, 8, 8), norm_num_groups=2)
+    params = vae.init(jax.random.PRNGKey(3), jnp.zeros((2, 64, 64, 3)),
+                      jax.random.PRNGKey(4))
+    z = 0.3 * jax.random.normal(jax.random.PRNGKey(5), (2, 64, 64, 4))
+    full = vae.apply(params, z, method=lambda m, x: m.decode(x))
+    mesh = make_mesh(8)
+    out = jax.jit(lambda p, z: sharded_decode_exact(vae, p, z, mesh))(params, z)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_tiled_error_bounded_by_exact(vae_and_latent):
+    """Pin the tiled path's approximation error as a NUMBER against the exact
+    decode (VERDICT round-1 item 8: 'visually identical' must be a bound)."""
+    vae, params, z, full = vae_and_latent
+    out = tiled_decode(vae, params, z, num_tiles=4, overlap=8)
+    err = float(np.abs(np.asarray(out) - np.asarray(full)).max())
+    scale_ref = float(np.abs(np.asarray(full)).max())
+    # random-init decoder output scale ~0.5; keep an absolute + relative bound
+    assert err < 0.15 * scale_ref, (err, scale_ref)
 
 
 def test_more_overlap_is_closer(vae_and_latent):
