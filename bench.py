@@ -59,6 +59,12 @@ def make_denoise(unet, brushnet, steps, batch=1, dtype=jnp.bfloat16):
 
     def denoise(uparams, bparams, latents, cond, embeds):
         state0 = sampler.init_state(latents)
+        # fused time-embedding GEMMs: batch the timestep MLPs over all steps
+        # once, outside the scan (same as the pipeline's sampler fn)
+        from reflecting_reality_tpu.ops.embeddings import precompute_time_embeddings
+
+        temb_u = precompute_time_embeddings(unet, uparams, timesteps)
+        temb_b = precompute_time_embeddings(brushnet, bparams, timesteps)
 
         def body(carry, xs):
             latents, state = carry
@@ -67,11 +73,12 @@ def make_denoise(unet, brushnet, steps, batch=1, dtype=jnp.bfloat16):
             down, mid, up = brushnet.apply(
                 bparams, latent_in.astype(dtype), t, embeds.astype(dtype),
                 jnp.concatenate([cond, cond], 0).astype(dtype),
+                temb=temb_b[i],
             )
             pred = unet.apply(
                 uparams, latent_in.astype(dtype), t, embeds.astype(dtype),
                 down_block_add_samples=down, mid_block_add_sample=mid,
-                up_block_add_samples=up,
+                up_block_add_samples=up, temb=temb_u[i],
             )
             uncond, text = jnp.split(pred, 2, axis=0)
             pred = uncond + guidance * (text - uncond)

@@ -77,6 +77,7 @@ class BrushNetModel(nn.Module, ConfigMixin):
         conditioning_scale: float | jnp.ndarray = 1.0,
         guess_mode: bool = False,
         added_cond_kwargs: Optional[dict] = None,
+        temb: Optional[jnp.ndarray] = None,  # precomputed time embedding
     ) -> Tuple[List[jnp.ndarray], jnp.ndarray, List[jnp.ndarray]]:
         heads = self._heads()
         bocs = self.block_out_channels
@@ -84,12 +85,17 @@ class BrushNetModel(nn.Module, ConfigMixin):
         if jnp.ndim(timesteps) == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
 
-        # 1. time
-        t_emb = get_timestep_embedding(
-            timesteps, bocs[0], flip_sin_to_cos=self.flip_sin_to_cos,
-            downscale_freq_shift=self.freq_shift,
-        ).astype(sample.dtype)
-        emb = TimestepEmbedding(bocs[0] * 4, dtype=self.dtype, name="time_embedding")(t_emb)
+        # 1. time (see unet2d: `temb` = table lookup hoisted out of the scan)
+        if temb is not None:
+            emb = jnp.broadcast_to(
+                temb.astype(self.dtype), (sample.shape[0], temb.shape[-1])
+            )
+        else:
+            t_emb = get_timestep_embedding(
+                timesteps, bocs[0], flip_sin_to_cos=self.flip_sin_to_cos,
+                downscale_freq_shift=self.freq_shift,
+            ).astype(sample.dtype)
+            emb = TimestepEmbedding(bocs[0] * 4, dtype=self.dtype, name="time_embedding")(t_emb)
 
         if self.addition_embed_type == "text_time":
             assert added_cond_kwargs is not None, "text_time needs added_cond_kwargs"

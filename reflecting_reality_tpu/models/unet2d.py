@@ -80,27 +80,49 @@ class UNet2DConditionModel(nn.Module, ConfigMixin):
         added_cond_kwargs: Optional[dict] = None,
         cached_deep: Optional[jnp.ndarray] = None,
         return_deep: bool = False,
+        cached_encoder: Optional[tuple] = None,
+        return_encoder: bool = False,
+        temb: Optional[jnp.ndarray] = None,  # precomputed time embedding (B, 4*bocs[0])
     ):
         """DeepCache support (opt-in inference acceleration, after
         arXiv:2312.03209): `return_deep=True` additionally returns the hidden
         state entering the LAST up block (the "deep trunk" output); passing it
         back as `cached_deep` on a later step skips down blocks 1..N, the mid
         block, and up blocks 0..N-2, recomputing only the shallow
-        (highest-resolution) encoder/decoder around it."""
+        (highest-resolution) encoder/decoder around it.
+
+        Encoder reuse ("Faster Diffusion", arXiv:2312.09608):
+        `return_encoder=True` additionally returns `(sample_before_mid,
+        down_block_res_samples)` — the encoder output + skip stack (with any
+        brushnet down residuals already applied); passing it back as
+        `cached_encoder` on a later step skips conv_in + ALL down blocks and
+        recomputes only mid + decoder with the current timestep.  A milder
+        approximation than DeepCache (the full decoder still runs each step)."""
         heads = self._heads()
         tlayers = self._tlayers()
         bocs = self.block_out_channels
-        is_brushnet = down_block_add_samples is not None
+        # brushnet injections are gated per-kind: encoder-reuse steps pass
+        # mid/up residuals with down_block_add_samples=None (the down
+        # residuals are baked into the cached skip stack).
+        is_brushnet = up_block_add_samples is not None
 
         if jnp.ndim(timesteps) == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
 
-        # 1. time
-        t_emb = get_timestep_embedding(
-            timesteps, bocs[0], flip_sin_to_cos=self.flip_sin_to_cos,
-            downscale_freq_shift=self.freq_shift,
-        ).astype(sample.dtype)
-        emb = TimestepEmbedding(bocs[0] * 4, dtype=self.dtype, name="time_embedding")(t_emb)
+        # 1. time — `temb` lets samplers hoist the timestep MLP out of the
+        # denoise scan: ops.embeddings.precompute_time_embeddings batches the
+        # sinusoid + 2 GEMMs over all N steps once, and the scan indexes the
+        # table (fused time-embedding GEMMs, PROFILE.md candidate).
+        if temb is not None:
+            emb = jnp.broadcast_to(
+                temb.astype(self.dtype), (sample.shape[0], temb.shape[-1])
+            )
+        else:
+            t_emb = get_timestep_embedding(
+                timesteps, bocs[0], flip_sin_to_cos=self.flip_sin_to_cos,
+                downscale_freq_shift=self.freq_shift,
+            ).astype(sample.dtype)
+            emb = TimestepEmbedding(bocs[0] * 4, dtype=self.dtype, name="time_embedding")(t_emb)
 
         if self.addition_embed_type == "text_time":
             assert added_cond_kwargs is not None, "text_time needs added_cond_kwargs"
@@ -116,51 +138,61 @@ class UNet2DConditionModel(nn.Module, ConfigMixin):
                 bocs[0] * 4, dtype=self.dtype, name="add_embedding"
             )(aug.astype(sample.dtype))
 
-        # 2. pre-process
-        sample = nn.Conv(
-            bocs[0], (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_in"
-        )(sample)
-
-        down_adds = list(down_block_add_samples) if is_brushnet else None
+        has_down_adds = down_block_add_samples is not None
         up_adds = list(up_block_add_samples) if is_brushnet else None
-
-        down_block_res_samples = (sample,)
-        if is_brushnet:
-            sample = sample + down_adds.pop(0)
-
         shallow_only = cached_deep is not None
+        assert not (shallow_only and cached_encoder is not None)
 
-        # 3. down
-        for i, block_type in enumerate(self.down_block_types):
-            if shallow_only and i > 0:
-                break
-            is_final = i == len(bocs) - 1
-            block_cls = DOWN_BLOCKS[block_type]
-            kwargs = dict(
-                in_channels=bocs[i - 1] if i > 0 else bocs[0],
-                out_channels=bocs[i],
-                num_layers=self.layers_per_block,
-                add_downsample=not is_final,
-                resnet_eps=self.norm_eps,
-                resnet_groups=self.norm_num_groups,
-                downsample_padding=self.downsample_padding,
-                dtype=self.dtype,
-            )
-            if block_cls.has_cross_attention:
-                kwargs.update(
-                    transformer_layers_per_block=tlayers[i],
-                    num_attention_heads=heads[i],
-                    cross_attention_dim=self.cross_attention_dim,
-                    use_linear_projection=self.use_linear_projection,
-                    ip_num_tokens=self.ip_num_tokens,
-                    ip_scale=self.ip_scale,
+        if cached_encoder is not None:
+            # encoder reuse: skip conv_in + down blocks entirely; the cached
+            # skip stack already contains any brushnet down residuals.
+            sample, down_block_res_samples = cached_encoder
+            down_block_res_samples = tuple(down_block_res_samples)
+        else:
+            # 2. pre-process
+            sample = nn.Conv(
+                bocs[0], (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_in"
+            )(sample)
+
+            down_adds = list(down_block_add_samples) if has_down_adds else None
+
+            down_block_res_samples = (sample,)
+            if has_down_adds:
+                sample = sample + down_adds.pop(0)
+
+            # 3. down
+            for i, block_type in enumerate(self.down_block_types):
+                if shallow_only and i > 0:
+                    break
+                is_final = i == len(bocs) - 1
+                block_cls = DOWN_BLOCKS[block_type]
+                kwargs = dict(
+                    in_channels=bocs[i - 1] if i > 0 else bocs[0],
+                    out_channels=bocs[i],
+                    num_layers=self.layers_per_block,
+                    add_downsample=not is_final,
+                    resnet_eps=self.norm_eps,
+                    resnet_groups=self.norm_num_groups,
+                    downsample_padding=self.downsample_padding,
+                    dtype=self.dtype,
                 )
-            n_take = self.layers_per_block + (0 if is_final else 1)
-            adds = [down_adds.pop(0) for _ in range(n_take)] if is_brushnet else None
-            sample, res_samples = block_cls(name=f"down_blocks_{i}", **kwargs)(
-                sample, emb, encoder_hidden_states=encoder_hidden_states, add_samples=adds
-            )
-            down_block_res_samples += res_samples
+                if block_cls.has_cross_attention:
+                    kwargs.update(
+                        transformer_layers_per_block=tlayers[i],
+                        num_attention_heads=heads[i],
+                        cross_attention_dim=self.cross_attention_dim,
+                        use_linear_projection=self.use_linear_projection,
+                        ip_num_tokens=self.ip_num_tokens,
+                        ip_scale=self.ip_scale,
+                    )
+                n_take = self.layers_per_block + (0 if is_final else 1)
+                adds = [down_adds.pop(0) for _ in range(n_take)] if has_down_adds else None
+                sample, res_samples = block_cls(name=f"down_blocks_{i}", **kwargs)(
+                    sample, emb, encoder_hidden_states=encoder_hidden_states, add_samples=adds
+                )
+                down_block_res_samples += res_samples
+
+        encoder_cache = (sample, tuple(down_block_res_samples))
 
         if shallow_only:
             # shallow decoder only: final up block over the cached deep trunk
@@ -221,7 +253,7 @@ class UNet2DConditionModel(nn.Module, ConfigMixin):
         sample = mid_cls(name="mid_block", **mid_kwargs)(
             sample, emb, encoder_hidden_states=encoder_hidden_states
         )
-        if is_brushnet:
+        if mid_block_add_sample is not None:
             sample = sample + mid_block_add_sample
 
         # 5. up
@@ -282,4 +314,6 @@ class UNet2DConditionModel(nn.Module, ConfigMixin):
         )(sample)
         if return_deep:
             return sample, deep
+        if return_encoder:
+            return sample, encoder_cache
         return sample

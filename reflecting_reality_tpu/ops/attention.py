@@ -46,10 +46,14 @@ def dot_product_attention(
 ) -> jnp.ndarray:
     """Scaled dot-product attention over (batch, tokens, heads, head_dim)."""
     backend = backend or _ATTENTION_BACKEND
-    # The Pallas kernel wins on v5e from 4096 tokens up (1.5-1.9x over the
-    # einsum path) and is mandatory at 16384 (XLA would materialize the
-    # (B*H, T, T) logits).  Below 2048 tokens the einsum path is faster
-    # because head-dim padding (40/80 -> 128 lanes) dominates.
+    # Measured crossover on v5e, bf16, CFG batch 2 (benchmarks/
+    # benchmark_attention_crossover.py, two-point chained-loop timing):
+    #   T=16384 D=40 : flash 8.23 ms, XLA OOM (16 GB logits) -> flash mandatory
+    #   T= 4096 D=40 : flash 1.04 ms vs XLA 2.78 ms          -> flash 2.7x
+    #   T= 1024 D=80 : flash 0.076 ms vs XLA 0.060 ms        -> XLA wins
+    #   T=  256 D=160: flash 0.023 ms vs XLA 0.004 ms        -> XLA wins
+    # Below 2048 tokens the head-dim padding (80/160 -> 128/256 lanes) and
+    # kernel launch overhead dominate, so the T >= 2048 threshold stands.
     if backend == "flash" and q.shape[1] >= 2048 and q.shape[1] == k.shape[1] and q.shape[1] % 8 == 0:
         from reflecting_reality_tpu.ops.pallas.flash_attention import flash_attention
 

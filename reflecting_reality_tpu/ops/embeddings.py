@@ -50,3 +50,24 @@ class TimestepEmbedding(nn.Module):
         x = nn.silu(x)
         x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(x)
         return x
+
+
+def precompute_time_embeddings(module, params, timesteps: jnp.ndarray) -> jnp.ndarray:
+    """Batch the sinusoid + time_embedding MLP over ALL sampler steps at once.
+
+    Samplers pass the resulting (N, 4*bocs[0]) table's rows back into
+    UNet2DConditionModel/BrushNetModel via their `temb` kwarg, hoisting the
+    per-step timestep GEMMs out of the denoise scan (fused time-embedding
+    GEMMs, benchmarks/PROFILE.md candidate).  `module` is the unet or
+    brushnet; `params` its full param tree (the time_embedding subtree is
+    extracted here, so the table is numerically identical to the in-scan
+    path)."""
+    bocs = module.block_out_channels
+    t_emb = get_timestep_embedding(
+        jnp.asarray(timesteps), bocs[0],
+        flip_sin_to_cos=module.flip_sin_to_cos,
+        downscale_freq_shift=module.freq_shift,
+    ).astype(module.dtype)
+    te = TimestepEmbedding(bocs[0] * 4, dtype=module.dtype)
+    sub = {"params": params["params"]["time_embedding"]}
+    return te.apply(sub, t_emb)

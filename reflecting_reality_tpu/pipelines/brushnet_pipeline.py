@@ -88,6 +88,7 @@ class StableDiffusionBrushNetPipeline:
         self._jit_cache = {}
         self._vae_tiling = None  # (num_tiles, overlap) when enabled
         self._deep_cache = None  # interval when enabled (DeepCache)
+        self._encoder_reuse = None  # interval when enabled (Faster Diffusion)
 
     @classmethod
     def from_pretrained(
@@ -189,6 +190,22 @@ class StableDiffusionBrushNetPipeline:
         self._deep_cache = None
         self._jit_cache.clear()
 
+    def enable_encoder_reuse(self, interval: int = 2) -> None:
+        """Encoder reuse ("Faster Diffusion", arXiv 2312.09608, from the
+        retrieved-papers list): every `interval`-th step runs the full dual
+        branch and caches the UNet encoder output + skip stack (with brushnet
+        down residuals applied) plus the mid/up residual stacks; the steps in
+        between skip conv_in + down blocks + the whole BrushNet and recompute
+        only mid + decoder with the current timestep.  A milder approximation
+        than DeepCache — the full decoder still runs every step."""
+        assert interval >= 1
+        self._encoder_reuse = None if interval == 1 else int(interval)
+        self._jit_cache.clear()
+
+    def disable_encoder_reuse(self) -> None:
+        self._encoder_reuse = None
+        self._jit_cache.clear()
+
     # ------------------------------------------------------------------ text
 
     def encode_prompt(
@@ -266,8 +283,12 @@ class StableDiffusionBrushNetPipeline:
         vae_module = self.vae_module
         vae_tiling = self._vae_tiling
         deep_cache = self._deep_cache
-        if deep_cache is not None:
-            assert not guess_mode, "deep cache + guess_mode unsupported"
+        encoder_reuse = self._encoder_reuse
+        assert not (deep_cache and encoder_reuse), (
+            "deep_cache and encoder_reuse are mutually exclusive"
+        )
+        if deep_cache is not None or encoder_reuse is not None:
+            assert not guess_mode, "cached modes + guess_mode unsupported"
 
         def denoise_and_decode(unet_params, brushnet_params, vae_params,
                                latents, cond_latents, prompt_embeds,
@@ -283,7 +304,14 @@ class StableDiffusionBrushNetPipeline:
             if guess_mode and do_cfg:
                 brushnet_embeds = brushnet_embeds[brushnet_embeds.shape[0] // 2:]
 
-            def branch_forward(latents, t, cond_scale):
+            # fused time-embedding GEMMs: batch the timestep MLPs over all N
+            # steps once, outside the scan; the body indexes the tables.
+            from reflecting_reality_tpu.ops.embeddings import precompute_time_embeddings
+
+            temb_u = precompute_time_embeddings(self.unet_module, unet_params, timesteps)
+            temb_b = precompute_time_embeddings(self.brushnet_module, brushnet_params, timesteps)
+
+            def branch_forward(latents, t, cond_scale, i):
                 """Full dual-branch forward; returns (pred, cache)."""
                 latent_in = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
                 control_in = latents if (guess_mode and do_cfg) else latent_in
@@ -296,6 +324,7 @@ class StableDiffusionBrushNetPipeline:
                     if not (guess_mode and do_cfg) else cond_latents.astype(self.dtype),
                     conditioning_scale=cond_scale,
                     guess_mode=guess_mode,
+                    temb=temb_b[i],
                 )
                 if guess_mode and do_cfg:
                     down = [jnp.concatenate([jnp.zeros_like(d), d], axis=0) for d in down]
@@ -310,6 +339,7 @@ class StableDiffusionBrushNetPipeline:
                     mid_block_add_sample=mid,
                     up_block_add_samples=up,
                     return_deep=deep_cache is not None,
+                    temb=temb_u[i],
                 )
                 if deep_cache is not None:
                     noise_pred, deep = out
@@ -318,7 +348,7 @@ class StableDiffusionBrushNetPipeline:
                     noise_pred, cache = out, None
                 return noise_pred, cache
 
-            def shallow_forward(latents, t, cache):
+            def shallow_forward(latents, t, cache, i):
                 """DeepCache step: cached trunk + cached brushnet residuals;
                 only the shallow encoder/decoder recompute."""
                 deep, down, mid, up = cache
@@ -332,33 +362,84 @@ class StableDiffusionBrushNetPipeline:
                     mid_block_add_sample=mid,
                     up_block_add_samples=list(up),
                     cached_deep=deep,
+                    temb=temb_u[i],
                 )
                 return noise_pred, cache
 
-            def model_eval(latents, t, cond_scale, i=None, cache=None):
-                if deep_cache is None:
-                    pred, _ = branch_forward(latents, t, cond_scale)
-                    if do_cfg:
-                        uncond, text = jnp.split(pred, 2, axis=0)
-                        pred = uncond + keep_scales["guidance_scale"] * (text - uncond)
-                    return pred, None
-                pred, cache = jax.lax.cond(
-                    i % deep_cache == 0,
-                    lambda lat, tt, cs, c: branch_forward(lat, tt, cs),
-                    lambda lat, tt, cs, c: shallow_forward(lat, tt, c),
-                    latents, t, cond_scale, cache,
+            def er_full(latents, t, cond_scale, i):
+                """Encoder-reuse key step: full dual branch, caching the UNet
+                encoder output + skip stack and the brushnet mid/up residuals
+                ("Faster Diffusion", arXiv 2312.09608)."""
+                latent_in = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
+                down, mid, up = brushnet_apply(
+                    brushnet_params,
+                    latent_in.astype(self.dtype),
+                    t,
+                    brushnet_embeds.astype(self.dtype),
+                    cond_latents_b.astype(self.dtype),
+                    conditioning_scale=cond_scale,
+                    temb=temb_b[i],
                 )
+                noise_pred, enc = unet_apply(
+                    unet_params,
+                    latent_in.astype(self.dtype),
+                    t,
+                    prompt_embeds.astype(self.dtype),
+                    down_block_add_samples=down,
+                    mid_block_add_sample=mid,
+                    up_block_add_samples=up,
+                    return_encoder=True,
+                    temb=temb_u[i],
+                )
+                return noise_pred, (enc, mid, tuple(up))
+
+            def er_reuse(latents, t, cache, i):
+                """Encoder-reuse step: skip conv_in + down blocks + the whole
+                BrushNet; recompute mid + decoder with the current temb."""
+                enc, mid, up = cache
+                latent_in = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
+                noise_pred, _ = unet_apply(
+                    unet_params,
+                    latent_in.astype(self.dtype),
+                    t,
+                    prompt_embeds.astype(self.dtype),
+                    mid_block_add_sample=mid,
+                    up_block_add_samples=list(up),
+                    cached_encoder=enc,
+                    return_encoder=True,
+                    temb=temb_u[i],
+                )
+                return noise_pred, cache
+
+            def model_eval(latents, t, cond_scale, i, cache=None):
+                if deep_cache is not None:
+                    pred, cache = jax.lax.cond(
+                        i % deep_cache == 0,
+                        lambda lat, tt, cs, c: branch_forward(lat, tt, cs, i),
+                        lambda lat, tt, cs, c: shallow_forward(lat, tt, c, i),
+                        latents, t, cond_scale, cache,
+                    )
+                elif encoder_reuse is not None:
+                    pred, cache = jax.lax.cond(
+                        i % encoder_reuse == 0,
+                        lambda lat, tt, cs, c: er_full(lat, tt, cs, i),
+                        lambda lat, tt, cs, c: er_reuse(lat, tt, c, i),
+                        latents, t, cond_scale, cache,
+                    )
+                else:
+                    pred, cache = branch_forward(latents, t, cond_scale, i)
                 if do_cfg:
                     uncond, text = jnp.split(pred, 2, axis=0)
                     pred = uncond + keep_scales["guidance_scale"] * (text - uncond)
                 return pred, cache
 
             cache0 = None
-            if deep_cache is not None:
+            if deep_cache is not None or encoder_reuse is not None:
                 # zero-initialized cache pytree (step 0 is always a full step)
+                full_fn = branch_forward if deep_cache is not None else er_full
                 shapes = jax.eval_shape(
-                    lambda lat: branch_forward(
-                        lat, timesteps[0], keep_scales["cond_scale"][0]
+                    lambda lat: full_fn(
+                        lat, timesteps[0], keep_scales["cond_scale"][0], 0
                     )[1],
                     latents,
                 )
@@ -425,6 +506,7 @@ class StableDiffusionBrushNetPipeline:
         (b, hl, wl, cl), steps, scheduler_name, do_cfg, guess_mode = key[:5]
         solver_order = key[6] if len(key) > 6 else 2
         assert self._deep_cache is None, "deep_cache requires dispatch='scan'"
+        assert self._encoder_reuse is None, "encoder_reuse requires dispatch='scan'"
 
         if scheduler_name == "unipc":
             sampler = UniPCSampler(self.schedule, steps, solver_order=solver_order)
@@ -666,6 +748,7 @@ class StableDiffusionBrushNetPipeline:
             guess_mode,
             self._deep_cache,
             solver_order,
+            self._encoder_reuse,
         )
         keep_scales = {"cond_scale": cond_scale,
                        "guidance_scale": jnp.float32(guidance_scale)}

@@ -73,3 +73,66 @@ class TestPipelineDeepCache:
         pipe.disable_deep_cache()
         again = pipe(**kwargs)
         np.testing.assert_array_equal(again, ref)
+
+
+class TestEncoderReuse:
+    """Faster Diffusion (arXiv 2312.09608) encoder reuse: same-step reuse of
+    the encoder cache must be exact; the pipeline mode is an approximation."""
+
+    def test_same_step_exactness_with_injection(self):
+        from tests.test_models import make_brushnet, make_unet
+
+        unet, uparams = make_unet()
+        bn, bparams = make_brushnet()
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 4))
+        t = jnp.array([10, 500])
+        ehs = jax.random.normal(jax.random.PRNGKey(3), (2, 7, 16))
+        cond = jax.random.normal(jax.random.PRNGKey(4), (2, 16, 16, 5))
+        down, mid, up = bn.apply(bparams, x, t, ehs, cond)
+        down = [d + 0.01 for d in down]
+        up = [u + 0.01 for u in up]
+        mid = mid + 0.01
+        out_full, enc = unet.apply(
+            uparams, x, t, ehs, down_block_add_samples=down,
+            mid_block_add_sample=mid, up_block_add_samples=up,
+            return_encoder=True,
+        )
+        out_reuse, enc2 = unet.apply(
+            uparams, x, t, ehs, mid_block_add_sample=mid,
+            up_block_add_samples=up, cached_encoder=enc, return_encoder=True,
+        )
+        np.testing.assert_allclose(np.asarray(out_reuse), np.asarray(out_full),
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(enc),
+                        jax.tree_util.tree_leaves(enc2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_stale_encoder_differs(self):
+        from tests.test_models import make_unet
+
+        unet, params = make_unet()
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 4))
+        t = jnp.array([10, 500])
+        ehs = jax.random.normal(jax.random.PRNGKey(3), (2, 7, 16))
+        _, enc = unet.apply(params, x, t, ehs, return_encoder=True)
+        out_new = unet.apply(params, x * 1.5, t, ehs)
+        out_stale, _ = unet.apply(params, x * 1.5, t, ehs, cached_encoder=enc,
+                                  return_encoder=True)
+        assert float(jnp.abs(out_new - out_stale).max()) > 1e-4
+
+    def test_pipeline_smoke(self):
+        import tests.test_pipeline as tp
+
+        pipe = tp.pipe.__wrapped__()
+        image, mask, depth = tp._inputs()
+        kwargs = dict(prompt="m", image=image, mask=mask, depth=depth,
+                      num_inference_steps=4, guidance_scale=7.5, seed=0)
+        ref = pipe(**kwargs)
+        pipe.enable_encoder_reuse(interval=2)
+        fast = pipe(**kwargs)
+        assert fast.shape == ref.shape
+        assert np.isfinite(fast).all()
+        assert not np.array_equal(fast, ref)
+        pipe.disable_encoder_reuse()
+        again = pipe(**kwargs)
+        np.testing.assert_array_equal(again, ref)
