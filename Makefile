@@ -21,6 +21,7 @@ golden:
 	python tests/golden/generate_golden_dataset.py
 	python tests/golden/generate_golden_models.py
 	python tests/golden/generate_golden_pipeline.py
+	python tests/golden/generate_golden_ip.py
 
 lint:
 	python -m compileall -q reflecting_reality_tpu

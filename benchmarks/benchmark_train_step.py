@@ -1,0 +1,120 @@
+"""Training-step throughput at the reference recipe (bs/chip=2, 512², bf16).
+
+One jitted SPMD train step (VAE encode -> conditioning assembly -> DDPM noise
+-> CLIP encode -> dual-branch forward -> MSE -> AdamW over brushnet), i.e.
+the reference hot loop train_brushnet_mirror.py:1346-1523 as compiled by
+training.train_step.  Frozen base UNet (the 8-GPU recipe), depth concat.
+
+Two-point chained timing: a jitted fori_loop carrying TrainState over n
+steps, timed at two n values.
+
+Usage: python benchmarks/benchmark_train_step.py [--batch 2] [--remat]
+"""
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from reflecting_reality_tpu.models.brushnet import BrushNetModel
+from reflecting_reality_tpu.models.clip_text import CLIPTextModel
+from reflecting_reality_tpu.models.unet2d import UNet2DConditionModel
+from reflecting_reality_tpu.models.vae import AutoencoderKL
+from reflecting_reality_tpu.ops.attention import set_attention_backend
+from reflecting_reality_tpu.training.train_step import TrainConfig, make_train_step
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--resolution", type=int, default=512)
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "results.csv"))
+    args = ap.parse_args()
+
+    set_attention_backend("flash")
+    dtype = jnp.bfloat16
+    H = W = args.resolution
+
+    unet = UNet2DConditionModel(dtype=dtype)
+    brushnet = BrushNetModel(conditioning_channels=6, dtype=dtype)
+    vae = AutoencoderKL(dtype=dtype)
+    text = CLIPTextModel(dtype=dtype)
+
+    r = jax.random.split(jax.random.PRNGKey(0), 4)
+    sample = jnp.zeros((1, 64, 64, 4), dtype)
+    t0s = jnp.zeros((1,), jnp.int32)
+    ehs = jnp.zeros((1, 77, 768), dtype)
+    print("init...", flush=True)
+    uparams = jax.jit(unet.init)(r[0], sample, t0s, ehs)
+    bparams = jax.jit(brushnet.init)(r[1], sample, t0s, ehs, jnp.zeros((1, 64, 64, 6), dtype))
+    vparams = jax.jit(vae.init)(r[2], jnp.zeros((1, 256, 256, 3), dtype), jax.random.PRNGKey(9))
+    tparams = jax.jit(text.init)(r[3], jnp.zeros((1, 77), jnp.int32))
+
+    config = TrainConfig(
+        learning_rate=1e-5, depth_conditioning_mode="concat",
+        gradient_checkpointing=args.remat,
+    )
+    step_fn, init_state = make_train_step(unet, brushnet, vae, text, config, dtype=dtype)
+    state = init_state(bparams, uparams, vparams, tparams)
+
+    b = args.batch
+    rs = np.random.RandomState(0)
+    batch = {
+        "pixel_values": jnp.asarray(rs.randn(b, H, W, 3), jnp.float32),
+        "conditioning_pixel_values": jnp.asarray(rs.randn(b, H, W, 3), jnp.float32),
+        "masks": jnp.asarray((rs.rand(b, H, W, 1) > 0.5), jnp.float32),
+        "depths": jnp.asarray(rs.randn(b, H, W, 1), jnp.float32),
+        "input_ids": jnp.asarray(rs.randint(0, 49408, (b, 77)), jnp.int32),
+    }
+
+    import functools
+
+    def chain(n):
+        # donate the state (params + opt state ≈ 9 GB fp32) — without
+        # donation input+output state double-buffers and the program OOMs.
+        # Returning the full state keeps the optimizer updates live (no DCE).
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(state, rng):
+            def body(i, carry):
+                state, rng = carry
+                rng, sub = jax.random.split(rng)
+                state, _ = step_fn(state, batch, sub)
+                return (state, rng)
+            state, _ = jax.lax.fori_loop(0, n, body, (state, rng))
+            return state
+        return run
+
+    def sync(state):
+        np.asarray(jax.tree_util.tree_leaves(state.trainable)[0])
+        return state
+
+    n1, n2 = 3, 13
+    f1, f2 = chain(n1), chain(n2)
+    print("compiling...", flush=True)
+    state = sync(f1(state, jax.random.PRNGKey(1)))
+    state = sync(f2(state, jax.random.PRNGKey(1)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time(); state = sync(f1(state, jax.random.PRNGKey(2))); t1 = time.time() - t0
+        t0 = time.time(); state = sync(f2(state, jax.random.PRNGKey(2))); t2 = time.time() - t0
+        best = min(best, (t2 - t1) / (n2 - n1))
+    sps = 1.0 / best
+    note = f"train step bs={b} frozen-unet depth-concat" + (" remat" if args.remat else "")
+    print(f"{sps:.2f} train steps/s ({b * sps:.2f} samples/s) — {note}", flush=True)
+    with open(args.out, "a", newline="") as f:
+        csv.writer(f).writerow(
+            [f"train_step_{args.resolution}_bs{b}" + ("_remat" if args.remat else ""),
+             args.resolution, b, "bf16", round(sps, 2), round(b * sps, 3), note]
+        )
+
+
+if __name__ == "__main__":
+    main()

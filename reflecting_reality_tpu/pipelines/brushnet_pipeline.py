@@ -89,6 +89,7 @@ class StableDiffusionBrushNetPipeline:
         self._vae_tiling = None  # (num_tiles, overlap) when enabled
         self._deep_cache = None  # interval when enabled (DeepCache)
         self._encoder_reuse = None  # interval when enabled (Faster Diffusion)
+        self._sharded_vae = None  # (mesh, axis_name, exact) when enabled
 
     @classmethod
     def from_pretrained(
@@ -190,6 +191,18 @@ class StableDiffusionBrushNetPipeline:
         self._deep_cache = None
         self._jit_cache.clear()
 
+    def enable_sharded_vae(self, mesh, axis_name: str = "data", exact: bool = True) -> None:
+        """Decode the final latents across a device mesh (W-sharded decoder
+        tail).  exact=True uses the psum-GroupNorm + halo-exchange variant
+        (bit-parity with the unsharded decode up to fp32 noise); exact=False
+        uses the overlapping-tile blend.  See parallel.sharded_vae."""
+        self._sharded_vae = (mesh, axis_name, exact)
+        self._jit_cache.clear()
+
+    def disable_sharded_vae(self) -> None:
+        self._sharded_vae = None
+        self._jit_cache.clear()
+
     def enable_encoder_reuse(self, interval: int = 2) -> None:
         """Encoder reuse ("Faster Diffusion", arXiv 2312.09608, from the
         retrieved-papers list): every `interval`-th step runs the full dual
@@ -240,6 +253,43 @@ class StableDiffusionBrushNetPipeline:
     @functools.cached_property
     def _text_apply(self):
         return jax.jit(lambda p, ids: self.text_module.apply(p, ids))
+
+    def _make_decode_fn(self):
+        """Latents -> image decode honoring the active toggles:
+        sharded mesh decode > tiled decode > plain decode."""
+        vae_module = self.vae_module
+        vae_tiling = self._vae_tiling
+        sharded = self._sharded_vae
+        sf = self.scaling_factor
+        dtype = self.dtype
+        scale = self.vae_scale_factor
+
+        def decode(vae_params, latents):
+            z = (latents / sf).astype(dtype)
+            if sharded is not None:
+                from reflecting_reality_tpu.parallel.sharded_vae import (
+                    sharded_decode, sharded_decode_exact,
+                )
+
+                mesh, axis_name, exact = sharded
+                if exact:
+                    image = sharded_decode_exact(vae_module, vae_params, z, mesh,
+                                                 axis_name=axis_name)
+                else:
+                    image = sharded_decode(vae_module, vae_params, z, mesh,
+                                           axis_name=axis_name, scale=scale)
+            elif vae_tiling is not None:
+                from reflecting_reality_tpu.parallel.sharded_vae import tiled_decode
+
+                image = tiled_decode(
+                    vae_module, vae_params, z,
+                    num_tiles=vae_tiling[0], overlap=vae_tiling[1], scale=scale,
+                )
+            else:
+                image = vae_module.apply(vae_params, z, method=vae_module.decode)
+            return image.astype(jnp.float32)
+
+        return decode
 
     # ------------------------------------------------------------- vae encode
 
@@ -474,19 +524,9 @@ class StableDiffusionBrushNetPipeline:
                 xs = (jnp.arange(steps), timesteps, prev_ts, keep_scales["cond_scale"])
                 (latents, _), _ = jax.lax.scan(body, (latents, cache0), xs)
 
-            z = (latents / self.scaling_factor).astype(self.dtype)
-            if vae_tiling is not None:
-                from reflecting_reality_tpu.parallel.sharded_vae import tiled_decode
+            return decode_latents(vae_params, latents)
 
-                image = tiled_decode(
-                    vae_module, vae_params, z,
-                    num_tiles=vae_tiling[0], overlap=vae_tiling[1],
-                    scale=self.vae_scale_factor,
-                )
-            else:
-                image = vae_module.apply(vae_params, z, method=vae_module.decode)
-            return image.astype(jnp.float32)
-
+        decode_latents = self._make_decode_fn()
         fn = jax.jit(denoise_and_decode)
         self._jit_cache[key] = fn
         return fn
@@ -573,19 +613,7 @@ class StableDiffusionBrushNetPipeline:
                 latents = ddim_step(self.schedule, pred, t, prev_ts[i], latents)
             return latents, state
 
-        def decode_fn(vae_params, latents):
-            z = (latents / self.scaling_factor).astype(self.dtype)
-            if vae_tiling is not None:
-                from reflecting_reality_tpu.parallel.sharded_vae import tiled_decode
-
-                image = tiled_decode(
-                    vae_module, vae_params, z,
-                    num_tiles=vae_tiling[0], overlap=vae_tiling[1],
-                    scale=self.vae_scale_factor,
-                )
-            else:
-                image = vae_module.apply(vae_params, z, method=vae_module.decode)
-            return image.astype(jnp.float32)
+        decode_fn = self._make_decode_fn()
 
         fns = (sampler, jax.jit(step_fn), jax.jit(decode_fn))
         self._jit_cache[ckey] = fns

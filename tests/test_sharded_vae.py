@@ -92,3 +92,22 @@ def test_more_overlap_is_closer(vae_and_latent):
         out = tiled_decode(vae, params, z, num_tiles=4, overlap=overlap)
         err.append(float(jnp.abs(out - full).mean()))
     assert err[1] < err[0]
+
+
+def test_pipeline_sharded_vae_matches_plain():
+    """enable_sharded_vae(exact=True) through the full pipeline must
+    reproduce the plain-decode pipeline output (CPU mesh)."""
+    import tests.test_pipeline as tp
+
+    pipe = tp.pipe.__wrapped__()
+    image, mask, depth = tp._inputs()
+    kwargs = dict(prompt="m", image=image, mask=mask, depth=depth,
+                  num_inference_steps=2, guidance_scale=7.5, seed=0)
+    ref = pipe(**kwargs)
+    pipe.enable_sharded_vae(make_mesh(8))
+    out = pipe(**kwargs)
+    # uint8 quantization: allow 1 step of fp32 reassociation noise
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+    pipe.disable_sharded_vae()
+    again = pipe(**kwargs)
+    np.testing.assert_array_equal(again, ref)
