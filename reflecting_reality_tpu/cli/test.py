@@ -56,9 +56,9 @@ def image_grid(imgs, num_images: int):
     """2-row grid sheet of the per-seed outputs (reference :59-69)."""
     from PIL import Image
 
-    rows = 2
+    rows = min(2, num_images)
     assert len(imgs) == num_images
-    cols = num_images // rows
+    cols = -(-num_images // rows)
     w, h = imgs[0].size
     grid = Image.new("RGB", size=(cols * w, rows * h))
     for i, img in enumerate(imgs):
@@ -95,8 +95,13 @@ def run_inference(args, brushnet_path: str, output_dir: str, test_df) -> None:
         unet_path=unet_path,
         depth_conditioning_mode=args.depth_conditioning_mode,
         normals_conditioning_mode=args.normals_conditioning_mode,
+        ip_adapter_scale=args.ip_adapter_scale,
         dtype=dtype,
     )
+    if args.weight_dtype == "bf16":
+        # reference torch_dtype semantics: half-precision WEIGHTS, not just
+        # compute (halves param HBM traffic; VAE stays fp32)
+        pipe.cast_params()
     os.makedirs(output_dir, exist_ok=True)
 
     summarize = None
@@ -293,7 +298,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--depth_conditioning_mode", type=str, default=None,
                    choices=[None, "concat", "latents"])
     p.add_argument("--normals_conditioning_mode", type=str, default=None,
-                   choices=[None, "concat", "latents"])
+                   choices=[None, "concat", "latents", "ip_adapter"])
+    p.add_argument("--ip_adapter_scale", type=float, default=1.0)
     p.add_argument("--geometric_input_data_dir", type=str, default=None)
     p.add_argument("--depth_source", type=str, default="gt",
                    choices=["gt", "marigold", "depth_pro", "geowizard"])

@@ -191,6 +191,26 @@ class StableDiffusionBrushNetPipeline:
         self._deep_cache = None
         self._jit_cache.clear()
 
+    def cast_params(self, dtype: Optional[jnp.dtype] = None,
+                    include_vae: bool = False) -> None:
+        """Cast model weights to `dtype` (default: the pipeline compute
+        dtype) — the reference's `torch_dtype=float16` weight policy.  Halves
+        the per-denoise-step param HBM traffic (+3% steps/s measured on v5e).
+        The VAE stays fp32 by default (the usual SD-1.5 half-precision-VAE
+        caution); the text encoder runs once per prompt so precision there is
+        cheap to keep."""
+        from reflecting_reality_tpu.core.io import cast_floating
+
+        d = dtype or self.dtype
+        self.unet_params = cast_floating(self.unet_params, d)
+        self.brushnet_params = cast_floating(self.brushnet_params, d)
+        if include_vae:
+            self.vae_params = cast_floating(self.vae_params, d)
+        if self.normal_proj is not None:
+            proj, pparams = self.normal_proj
+            self.normal_proj = (proj, cast_floating(pparams, d))
+        self._jit_cache.clear()
+
     def enable_sharded_vae(self, mesh, axis_name: str = "data", exact: bool = True) -> None:
         """Decode the final latents across a device mesh (W-sharded decoder
         tail).  exact=True uses the psum-GroupNorm + halo-exchange variant

@@ -110,3 +110,66 @@ class TestCLIJourney:
         ])
         for s in sheets:
             assert os.path.getmtime(os.path.join(infer_out, s)) == mtimes[s]
+
+    def test_ip_adapter_journey(self, env, tmp_path):
+        """Train -> checkpoint -> infer in normals ip_adapter mode: the
+        validation path projects the mean mirror normal, the checkpoint
+        carries unet/ (with to_k_ip/to_v_ip) + ip_adapter/normal_proj, and
+        the inference driver reloads all of it via from_pretrained."""
+        base, data = env
+        out = str(tmp_path / "run_ip")
+
+        from reflecting_reality_tpu.cli import train as train_cli
+
+        train_cli.main([
+            "--pretrained_model_name_or_path", base,
+            "--train_data_dir", data,
+            "--output_dir", out,
+            "--resolution", "64",
+            "--train_batch_size", "1",
+            "--max_train_steps", "2",
+            "--checkpointing_steps", "2",
+            "--learning_rate", "1e-4",
+            "--lr_warmup_steps", "0",
+            "--depth_conditioning_mode", "concat",
+            "--normals_conditioning_mode", "ip_adapter",
+            "--dataloader_num_workers", "2",
+            "--report_to", "none",
+            "--logging_dir", os.path.join(out, "logs"),
+            "--validation_steps", "2",
+            "--num_validation_images", "1",
+            "--num_images_per_validation", "1",
+            "--num_inference_steps", "2",
+            "--seed", "0",
+            "--log_every", "1",
+        ])
+        ckpt = os.path.join(out, "checkpoint-2")
+        # ip mode saves the unet (to_k_ip/to_v_ip live there) + normal_proj
+        assert os.path.exists(
+            os.path.join(ckpt, "unet", "diffusion_pytorch_model.safetensors")
+        )
+        assert os.path.exists(
+            os.path.join(ckpt, "ip_adapter", "normal_proj.safetensors")
+        )
+        # validation actually ran (no silent swallow)
+        val_dir = os.path.join(out, "validation", "step-2")
+        assert os.path.isdir(val_dir) and len(os.listdir(val_dir)) == 1
+
+        from reflecting_reality_tpu.cli import test as test_cli
+
+        infer_out = str(tmp_path / "infer_ip")
+        test_cli.main([
+            "--brushnet_path", os.path.join(ckpt, "brushnet"),
+            "--base_model_path", base,
+            "--train_data_dir", data,
+            "--output_dir", infer_out,
+            "--resolution", "64",
+            "--num_inference_steps", "2",
+            "--num_images_per_validation", "1",
+            "--depth_conditioning_mode", "concat",
+            "--normals_conditioning_mode", "ip_adapter",
+            "--normal_source", "gt",
+            "--num_samples", "2",
+            "--seed", "0",
+        ])
+        assert len(os.listdir(infer_out)) == 2

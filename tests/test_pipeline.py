@@ -219,6 +219,28 @@ class TestPerStepDispatch:
         assert out.shape == (1, H, W, 3)
 
 
+def test_cast_params_close_to_fp32():
+    """cast_params (half-precision weights, the reference torch_dtype policy)
+    must stay close to the fp32-weight output and leave the VAE untouched."""
+    import jax.numpy as jnp
+    import tests.test_pipeline as tp
+
+    p = tp.pipe.__wrapped__()  # fresh instance; don't mutate the fixture
+    image, mask, depth = _inputs()
+    kwargs = dict(prompt="m", image=image, mask=mask, depth=depth,
+                  num_inference_steps=2, guidance_scale=7.5, seed=0)
+    ref = p(**kwargs)
+    p.cast_params(jnp.bfloat16)
+    leaf = jax.tree_util.tree_leaves(p.unet_params)[0]
+    assert leaf.dtype == jnp.bfloat16
+    vleaf = jax.tree_util.tree_leaves(p.vae_params)[0]
+    assert vleaf.dtype == jnp.float32  # VAE stays fp32 by default
+    out = p(**kwargs)
+    assert out.shape == ref.shape
+    # bf16 weights: small drift, same image up to a few uint8 steps
+    assert np.abs(out.astype(np.float32) - ref.astype(np.float32)).mean() < 8.0
+
+
 def test_guess_mode_smoke(pipe):
     """guess_mode: brushnet on the cond half only, uncond half zero-padded
     (reference pipeline_brushnet.py:1260-1295)."""
