@@ -22,6 +22,7 @@ golden:
 	python tests/golden/generate_golden_models.py
 	python tests/golden/generate_golden_pipeline.py
 	python tests/golden/generate_golden_ip.py
+	python tests/golden/generate_golden_sdxl.py
 
 lint:
 	python -m compileall -q reflecting_reality_tpu

@@ -45,8 +45,10 @@ class StableDiffusionXLBrushNetPipeline(StableDiffusionBrushNetPipeline):
         normals_conditioning_mode: Optional[str] = None,
         vae_scale_factor: int = 8,
         scaling_factor: float = 0.13025,
+        force_zeros_for_empty_prompt: bool = True,
         dtype: jnp.dtype = jnp.float32,
     ):
+        self.force_zeros_for_empty_prompt = force_zeros_for_empty_prompt
         super().__init__(
             vae=vae, text_encoder=text_encoder, tokenizer=tokenizer,
             unet=unet, brushnet=brushnet, schedule=schedule,
@@ -97,7 +99,13 @@ class StableDiffusionXLBrushNetPipeline(StableDiffusionBrushNetPipeline):
         pos, pos_pool = encode(prompts)
         if not do_classifier_free_guidance:
             return pos, pos_pool
-        neg, neg_pool = encode(negatives)
+        if negative_prompt is None and self.force_zeros_for_empty_prompt:
+            # SDXL contract: unset negative prompt -> ZERO embeds, not the
+            # encoded empty string (reference pipeline_brushnet_sd_xl
+            # force_zeros_for_empty_prompt=True default)
+            neg, neg_pool = jnp.zeros_like(pos), jnp.zeros_like(pos_pool)
+        else:
+            neg, neg_pool = encode(negatives)
         return (jnp.concatenate([neg, pos], 0),
                 jnp.concatenate([neg_pool, pos_pool], 0))
 
@@ -210,6 +218,8 @@ class StableDiffusionXLBrushNetPipeline(StableDiffusionBrushNetPipeline):
         crops_coords_top_left: Tuple[int, int] = (0, 0),
         target_size: Optional[Tuple[int, int]] = None,
         scheduler: str = "unipc",
+        latents: Optional[jnp.ndarray] = None,
+        deterministic_vae_encode: bool = False,
         output_type: str = "np",
     ):
         do_cfg = guidance_scale > 1.0
@@ -226,7 +236,10 @@ class StableDiffusionXLBrushNetPipeline(StableDiffusionBrushNetPipeline):
         mask_np = (mask_np.sum(-1, keepdims=True) < 0).astype(np.float32)
         hl, wl = h // self.vae_scale_factor, w // self.vae_scale_factor
 
-        cond = self._encode_sample(self.vae_params, jnp.asarray(image_np), rng_vae)
+        if deterministic_vae_encode:
+            cond = self._encode_mode(self.vae_params, jnp.asarray(image_np))
+        else:
+            cond = self._encode_sample(self.vae_params, jnp.asarray(image_np), rng_vae)
         cond = jnp.concatenate(
             [cond, jnp.asarray(interpolate_nearest(mask_np, hl, wl)).astype(cond.dtype)], -1
         )
@@ -237,7 +250,8 @@ class StableDiffusionXLBrushNetPipeline(StableDiffusionBrushNetPipeline):
             cond = jnp.concatenate([cond, jnp.asarray(d).astype(cond.dtype)], -1)
 
         batch = image_np.shape[0]
-        latents = jax.random.normal(rng_noise, (batch, hl, wl, 4), jnp.float32)
+        if latents is None:
+            latents = jax.random.normal(rng_noise, (batch, hl, wl, 4), jnp.float32)
 
         original_size = original_size or (h, w)
         target_size = target_size or (h, w)

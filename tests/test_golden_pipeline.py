@@ -128,3 +128,74 @@ def test_conditioning_latents_parity(golden):
     )
     ref = np.moveaxis(golden["cond_latents_mode"], 1, -1)
     np.testing.assert_allclose(full, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestSDXLPipelineParity:
+    """End-to-end SDXL golden parity (reference pipeline_brushnet_sd_xl):
+    dual text encoders (penultimate hidden-states concat + projected pooled),
+    force_zeros_for_empty_prompt negatives, text_time micro-conditioning
+    through unet AND brushnet, CFG 5.0.  Goldens from
+    tests/golden/generate_golden_sdxl.py."""
+
+    GOLDEN_XL = os.path.join(os.path.dirname(__file__), "golden", "sdxl_pipeline.npz")
+
+    TINY_XL = dict(
+        block_out_channels=(8, 16, 16, 16),
+        attention_head_dim=2,
+        cross_attention_dim=48,
+        norm_num_groups=4,
+        layers_per_block=2,
+        addition_embed_type="text_time",
+        addition_time_embed_dim=8,
+    )
+
+    @pytest.fixture(scope="class")
+    def xl(self):
+        if not os.path.exists(self.GOLDEN_XL):
+            pytest.skip("sdxl golden not generated")
+        return np.load(self.GOLDEN_XL)
+
+    def test_pipeline_matches_reference(self, xl):
+        from reflecting_reality_tpu.models.clip_text import CLIPTextModelWithProjection
+        from reflecting_reality_tpu.pipelines.brushnet_sdxl_pipeline import (
+            StableDiffusionXLBrushNetPipeline,
+        )
+
+        unet = UNet2DConditionModel(sample_size=8, **self.TINY_XL)
+        brushnet = BrushNetModel(conditioning_channels=5, **self.TINY_XL)
+        vae = AutoencoderKL(block_out_channels=(8, 8, 8, 8), norm_num_groups=4,
+                            layers_per_block=1)
+        text1 = CLIPTextModel(vocab_size=1000, hidden_size=32, num_hidden_layers=2,
+                              num_attention_heads=2, intermediate_size=64)
+        text2 = CLIPTextModelWithProjection(
+            vocab_size=1000, hidden_size=16, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=32, projection_dim=16,
+            eos_token_id=999,
+        )
+        pipe = StableDiffusionXLBrushNetPipeline(
+            vae=(vae, weights_of(xl, "vae")),
+            text_encoder=(text1, weights_of(xl, "text")),
+            text_encoder_2=(text2, weights_of(xl, "text2")),
+            tokenizer=RecordedTokenizer(xl),
+            tokenizer_2=RecordedTokenizer(xl),
+            unet=(unet, weights_of(xl, "unet")),
+            brushnet=(brushnet, weights_of(xl, "brushnet")),
+            scaling_factor=float(xl["vae_scaling"]),
+        )
+        latents0 = jnp.asarray(np.moveaxis(xl["latents"], 1, -1))
+        out = pipe(
+            "a mirror",
+            xl["image"],
+            xl["mask"],
+            num_inference_steps=int(xl["steps"]),
+            guidance_scale=float(xl["cfg"]),
+            latents=latents0,
+            deterministic_vae_encode=True,
+            output_type="latent",
+        )
+        ref = xl["final_image"]
+        got = np.clip(np.asarray(out)[0] / 2.0 + 0.5, 0, 1)
+        assert got.shape == ref.shape
+        diff = np.abs(got - ref)
+        assert diff.max() < 5e-3, f"max diff {diff.max()}"
+        assert diff.mean() < 5e-4
