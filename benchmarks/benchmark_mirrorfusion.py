@@ -58,6 +58,11 @@ def build_models(dtype):
     cond = jnp.zeros((1, 64, 64, 6), dtype)
     uparams = jax.jit(unet.init)(rng, sample, t, ehs)
     bparams = jax.jit(brushnet.init)(jax.random.PRNGKey(1), sample, t, ehs, cond)
+    # bf16 weights — same policy as bench.py (halves param HBM traffic)
+    from reflecting_reality_tpu.core.io import cast_floating
+
+    uparams = cast_floating(uparams, dtype)
+    bparams = cast_floating(bparams, dtype)
     return unet, uparams, brushnet, bparams
 
 

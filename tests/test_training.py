@@ -157,3 +157,17 @@ class TestTrainingOptions:
         p2 = s2.trainable["brushnet"]["params"]["conv_in_condition"]["kernel"]
         assert float(jnp.abs(p2 - p1).max()) > 0                        # applied
         assert np.isfinite(float(m2["loss"]))
+
+
+class TestMultihostHelpers:
+    """parallel.multihost: the Accelerate barrier/gather surface in
+    single-process mode (pod behavior needs real hosts; these pin the
+    single-process no-op contracts the CLIs rely on)."""
+
+    def test_single_process_surface(self):
+        from reflecting_reality_tpu.parallel import multihost
+
+        multihost.initialize()  # idempotent no-op
+        assert multihost.is_main_process()
+        multihost.barrier("test")  # returns immediately at process_count 1
+        assert multihost.local_shard([1, 2, 3]) == [1, 2, 3]
