@@ -219,6 +219,30 @@ class TestPerStepDispatch:
         assert out.shape == (1, H, W, 3)
 
 
+def test_non_square_resolution(pipe):
+    """Non-square sizes (576x512-style aspect) must flow through preprocess,
+    conditioning assembly, the scan, and decode with consistent latents."""
+    rng = np.random.RandomState(3)
+    image = rng.rand(96, 64, 3).astype(np.float32)
+    mask = np.zeros((96, 64, 3), np.float32)
+    mask[20:60, 16:48] = 1.0
+    depth = rng.rand(96, 64, 1).astype(np.float32)
+    out = pipe(prompt="m", image=image, mask=mask, depth=depth,
+               height=96, width=64, num_inference_steps=2, seed=0)
+    assert out.shape == (1, 96, 64, 3)
+    assert np.isfinite(out.astype(np.float32)).all()
+
+
+def test_multi_prompt_batch(pipe):
+    """A list of prompts batches through CFG layout [uncond..., cond...]."""
+    image, mask, depth = _inputs()
+    out = pipe(prompt=["a mirror", "another mirror"], image=image, mask=mask,
+               depth=depth, num_inference_steps=2, guidance_scale=7.5, seed=0)
+    assert out.shape == (2, H, W, 3)
+    # the two prompts must produce different images
+    assert np.abs(out[0].astype(int) - out[1].astype(int)).max() > 0
+
+
 def test_cast_params_close_to_fp32():
     """cast_params (half-precision weights, the reference torch_dtype policy)
     must stay close to the fp32-weight output and leave the VAE untouched."""
