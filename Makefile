@@ -1,7 +1,7 @@
 # Developer entry points (reference: MirrorFusion/Makefile:73-79 runs the
 # test suites; TPU-native equivalents below).
 
-.PHONY: test test-fast bench bench-all golden lint
+.PHONY: test test-fast bench bench-all golden lint native
 
 test:
 	python -m pytest tests/ -q
@@ -26,3 +26,8 @@ golden:
 
 lint:
 	python -m compileall -q reflecting_reality_tpu
+
+# Native sample-transform kernels (optional accelerator; the ctypes wrapper
+# in reflecting_reality_tpu/data/native.py also builds this on first use).
+native:
+	g++ -O3 -Wall -shared -fPIC -o reflecting_reality_tpu/data/_native_transforms.so native/transforms.cpp

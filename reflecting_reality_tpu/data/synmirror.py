@@ -40,19 +40,21 @@ try:
 except ImportError:  # pragma: no cover
     Image = None
 
+from reflecting_reality_tpu.data import native as _native
+
 MIRROR_PROMPT = "A perfect plane mirror reflection of "
 
 
 def _resize_shorter_bicubic(arr: np.ndarray, resolution: int) -> np.ndarray:
     """torchvision Resize(resolution): scale so the SHORTER side == resolution."""
     h, w = arr.shape[:2]
-    if min(h, w) == resolution and (h == resolution or w == resolution):
-        if h == w == resolution:
-            return arr
     if h <= w:
         nh, nw = resolution, max(1, round(w * resolution / h))
     else:
         nh, nw = max(1, round(h * resolution / w)), resolution
+    if (nh, nw) == (h, w):
+        # scale-1 bicubic is the identity kernel (cubic(0)=1, cubic(+-1)=0)
+        return arr
     squeeze = arr.ndim == 2
     a = arr[:, :, None] if squeeze else arr
     chans = []
@@ -71,23 +73,41 @@ def _center_crop(arr: np.ndarray, resolution: int) -> np.ndarray:
 
 
 def get_masked_image(image: np.ndarray, mask: np.ndarray, invert: bool = True) -> np.ndarray:
-    masked = image.copy()
-    if invert:
-        masked[mask == 255] = 0
-    else:
-        masked[mask == 0] = 0
-    return masked
+    if mask.ndim == 2:
+        nat = _native.masked_image(image, mask, invert=invert)
+        if nat is not None:
+            return nat
+    keep = (mask != 255) if invert else (mask != 0)
+    if image.ndim == 3 and keep.ndim == 2:
+        keep = keep[:, :, None]
+    return image * keep.astype(image.dtype)
 
 
 def apply_transforms_rgb(image: np.ndarray, resolution: int = 512) -> np.ndarray:
-    """uint8 HWC -> float32 (res, res, 3) in [-1, 1]."""
-    x = image.astype(np.float32) / 255.0
+    """uint8 HWC -> float32 (res, res, 3) in [-1, 1].
+
+    Crop is pure slicing and the normalize is elementwise, so both commute
+    with each other exactly; doing resize -> crop -> fused (x/255-0.5)/0.5
+    avoids two full-size temporaries vs the naive order."""
+    if image.dtype == np.uint8 and image.ndim == 3:
+        nat = _native.rgb_transform(image, resolution)
+        if nat is not None:
+            return nat
+    x = image.astype(np.float32)
+    x /= 255.0
     x = _center_crop(_resize_shorter_bicubic(x, resolution), resolution)
-    return (x - 0.5) / 0.5
+    x = np.ascontiguousarray(x)
+    x -= 0.5
+    x /= 0.5
+    return x
 
 
 def apply_transforms_mask(mask: np.ndarray, resolution: int = 512) -> np.ndarray:
     """uint8 HW -> float32 (res, res, 1) in [0, 1] (no normalize)."""
+    if mask.dtype == np.uint8 and mask.ndim == 2:
+        nat = _native.mask_transform(mask, resolution)
+        if nat is not None:
+            return nat
     x = mask.astype(np.float32) / 255.0
     x = _center_crop(_resize_shorter_bicubic(x, resolution), resolution)
     return x[:, :, None]
@@ -108,6 +128,16 @@ def apply_transforms_depth(
     if mask is not None and mask.ndim == 3:
         mask = mask[:, :, 0]
     norm_range = list(norm_range)
+
+    if (normalization_method == "max_scene_depth"
+            and norm_range in ([0, 1], [-1, 1])
+            and (mask is None or mask.dtype == np.uint8)):
+        nat = _native.depth_transform(
+            depth, mask, max_scene_depth, delta,
+            to_pm1=(norm_range == [-1, 1]), resolution=resolution,
+        )
+        if nat is not None:
+            return nat
 
     if normalization_method == "percentile":
         d2, d98 = np.percentile(depth, 2), np.percentile(depth, 98)
@@ -145,6 +175,10 @@ def apply_transforms_normals(
         mean = normals_map[bool_mask].mean(axis=0)
         return (mean / np.linalg.norm(mean)).astype(np.float32)[None, :]  # (1, 3)
     x = normals_map.astype(np.float32)
+    if x.ndim == 3:
+        nat = _native.f32_img_transform(x, resolution)
+        if nat is not None:
+            return nat
     x = _center_crop(_resize_shorter_bicubic(x, resolution), resolution)
     return (x - 0.5) / 0.5
 
@@ -154,20 +188,42 @@ def decode_cam_states(cam_states: np.ndarray):
     return data["cam2world"], data["cam_K"]
 
 
-def extract_data_from_hdf5(hdf5_data, random_flip: bool = False) -> Dict[str, np.ndarray]:
-    segmap = np.array(hdf5_data["category_id_segmaps"], dtype=np.uint8)
-    data = {
-        "image": np.array(hdf5_data["colors"], dtype=np.uint8),
-        "mask": (segmap == 1).astype(np.uint8) * 255,
-        "object_mask": (segmap == 2).astype(np.uint8) * 255,
-        "depth": np.array(hdf5_data["depth"]),
-        "normals": np.array(hdf5_data["normals"]),
-        "cam_states": np.array(hdf5_data["cam_states"]),
+def extract_data_from_hdf5(
+    hdf5_data, random_flip: bool = False, keys=None
+) -> Dict[str, np.ndarray]:
+    """Decode one SynMirror sample (reference dataset.py:205-223).
+
+    `keys=None` reads everything (reference behavior).  Passing a subset
+    skips the HDF5 reads + dtype conversions of unused planes — the training
+    loader in depth-concat mode never touches `normals`/`cam_states`, which
+    is ~40% of the bytes per sample."""
+    want = set(keys) if keys is not None else {
+        "image", "mask", "object_mask", "depth", "normals", "cam_states",
+        "masked_image",
     }
-    data["masked_image"] = get_masked_image(data["image"], data["mask"])
+    data: Dict[str, np.ndarray] = {}
+    if want & {"mask", "object_mask", "masked_image"}:
+        segmap = np.array(hdf5_data["category_id_segmaps"], dtype=np.uint8)
+        if "mask" in want or "masked_image" in want:
+            data["mask"] = (segmap == 1).astype(np.uint8) * 255
+        if "object_mask" in want:
+            data["object_mask"] = (segmap == 2).astype(np.uint8) * 255
+    if want & {"image", "masked_image"}:
+        data["image"] = np.array(hdf5_data["colors"], dtype=np.uint8)
+    if "depth" in want:
+        data["depth"] = np.array(hdf5_data["depth"])
+    if "normals" in want:
+        data["normals"] = np.array(hdf5_data["normals"])
+    if "cam_states" in want:
+        data["cam_states"] = np.array(hdf5_data["cam_states"])
+    if "masked_image" in want:
+        data["masked_image"] = get_masked_image(data["image"], data["mask"])
     if random_flip:
         for key in ["image", "mask", "object_mask", "masked_image", "depth", "normals"]:
-            data[key] = np.fliplr(data[key])
+            if key in data:
+                data[key] = np.fliplr(data[key])
+    if keys is not None:
+        data = {k: v for k, v in data.items() if k in want}
     return data
 
 
@@ -217,8 +273,17 @@ class HDF5Dataset:
         hdf5_path = self.data_root / str(row["path"])
 
         flip = self.random_flip and self.rng.rand() < 0.5
+        keys = {"image", "mask"}
+        if not self.kwargs.get("hint_map_dir"):
+            keys.add("masked_image")
+        if self.kwargs.get("depth", False):
+            keys.add("depth")
+        if self.kwargs.get("normals_conditioning_mode", False):
+            keys.add("normals")
+        if self.kwargs.get("cam_states", False):
+            keys.add("cam_states")
         with h5py.File(hdf5_path, "r") as f:
-            data = extract_data_from_hdf5(f, random_flip=flip)
+            data = extract_data_from_hdf5(f, random_flip=flip, keys=keys)
 
         example = {
             "pixel_values": apply_transforms_rgb(data["image"], self.resolution),
