@@ -76,11 +76,18 @@ def make_denoise(unet, brushnet, steps, batch=1, dtype=jnp.bfloat16):
             latents, state = carry
             i, t = xs
             latent_in = jnp.concatenate([latents, latents], axis=0)
+            # conv-only BrushNet: both CFG halves see identical inputs, so
+            # run it once at half batch and tile the residuals (exact; same
+            # as the pipeline's dedup_brushnet path, golden-pinned).
             down, mid, up = brushnet.apply(
-                bparams, latent_in.astype(dtype), t, embeds.astype(dtype),
-                jnp.concatenate([cond, cond], 0).astype(dtype),
+                bparams, latents.astype(dtype), t,
+                embeds[:latents.shape[0]].astype(dtype),
+                cond.astype(dtype),
                 temb=temb_b[i],
             )
+            down = [jnp.concatenate([d, d], axis=0) for d in down]
+            mid = jnp.concatenate([mid, mid], axis=0)
+            up = [jnp.concatenate([u, u], axis=0) for u in up]
             pred = unet.apply(
                 uparams, latent_in.astype(dtype), t, embeds.astype(dtype),
                 down_block_add_samples=down, mid_block_add_sample=mid,

@@ -233,6 +233,10 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
+    from reflecting_reality_tpu.core.jit_cache import enable_compilation_cache
+
+    enable_compilation_cache(args.compilation_cache_dir)
+
     test_df = pd.read_csv(os.path.join(args.train_data_dir, args.csv))
     if args.infer_list:
         with open(args.infer_list) as f:
@@ -285,6 +289,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(~20%% faster per image at batch 4-8; independent "
                         "noise per row, not bit-matched to sequential seeds)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--compilation_cache_dir", type=str, default=None,
+                   help="persistent XLA compilation cache (kills the ~190s "
+                        "cold compile of the 1024 pipeline on reruns)")
     p.add_argument("--num_samples", type=int, default=None)
     p.add_argument("--train_data_dir", type=str, default="data/blenderproc")
     p.add_argument("--output_dir", type=str, default=None)

@@ -145,6 +145,10 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
+    from reflecting_reality_tpu.core.jit_cache import enable_compilation_cache
+
+    enable_compilation_cache(args.compilation_cache_dir)
+
     import jax
     import jax.numpy as jnp
     import pandas as pd
@@ -432,6 +436,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=10)
     # training
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--compilation_cache_dir", type=str, default=None,
+                   help="persistent XLA compilation cache directory")
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--train_batch_size", type=int, default=4)
     p.add_argument("--num_train_epochs", type=int, default=1)

@@ -360,6 +360,34 @@ class StableDiffusionBrushNetPipeline:
         if deep_cache is not None or encoder_reuse is not None:
             assert not guess_mode, "cached modes + guess_mode unsupported"
 
+        # MirrorFusion's BrushNet is conv-only (no block consumes text,
+        # models/brushnet.py:46-48 / reference brushnet.py:144-156), so under
+        # CFG its two batch halves see bitwise-identical inputs — the latents
+        # and conditioning latents are CFG-duplicated and the time embedding
+        # is text-independent.  The reference computes the branch twice
+        # (pipeline_brushnet.py:1277-1285); we run it once at half batch and
+        # tile the 28 residuals.  Exact, ~28% of the dual-branch step saved.
+        from reflecting_reality_tpu.models.unet_blocks import (
+            DOWN_BLOCKS, MID_BLOCKS, UP_BLOCKS,
+        )
+
+        bn = self.brushnet_module
+        dedup_brushnet = (
+            do_cfg
+            and not guess_mode
+            and not any(DOWN_BLOCKS[t].has_cross_attention for t in bn.down_block_types)
+            and not MID_BLOCKS[bn.mid_block_type].has_cross_attention
+            and not any(UP_BLOCKS[t].has_cross_attention for t in bn.up_block_types)
+        )
+
+        def _tile2(res):
+            down, mid, up = res
+            return (
+                [jnp.concatenate([d, d], axis=0) for d in down],
+                jnp.concatenate([mid, mid], axis=0),
+                [jnp.concatenate([u, u], axis=0) for u in up],
+            )
+
         def denoise_and_decode(unet_params, brushnet_params, vae_params,
                                latents, cond_latents, prompt_embeds,
                                brushnet_embeds, keep_scales):
@@ -384,18 +412,29 @@ class StableDiffusionBrushNetPipeline:
             def branch_forward(latents, t, cond_scale, i):
                 """Full dual-branch forward; returns (pred, cache)."""
                 latent_in = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
-                control_in = latents if (guess_mode and do_cfg) else latent_in
-                down, mid, up = brushnet_apply(
-                    brushnet_params,
-                    control_in.astype(self.dtype),
-                    t,
-                    brushnet_embeds.astype(self.dtype),
-                    cond_latents_b.astype(self.dtype)
-                    if not (guess_mode and do_cfg) else cond_latents.astype(self.dtype),
-                    conditioning_scale=cond_scale,
-                    guess_mode=guess_mode,
-                    temb=temb_b[i],
-                )
+                if dedup_brushnet:
+                    down, mid, up = _tile2(brushnet_apply(
+                        brushnet_params,
+                        latents.astype(self.dtype),
+                        t,
+                        brushnet_embeds[latents.shape[0]:].astype(self.dtype),
+                        cond_latents.astype(self.dtype),
+                        conditioning_scale=cond_scale,
+                        temb=temb_b[i],
+                    ))
+                else:
+                    control_in = latents if (guess_mode and do_cfg) else latent_in
+                    down, mid, up = brushnet_apply(
+                        brushnet_params,
+                        control_in.astype(self.dtype),
+                        t,
+                        brushnet_embeds.astype(self.dtype),
+                        cond_latents_b.astype(self.dtype)
+                        if not (guess_mode and do_cfg) else cond_latents.astype(self.dtype),
+                        conditioning_scale=cond_scale,
+                        guess_mode=guess_mode,
+                        temb=temb_b[i],
+                    )
                 if guess_mode and do_cfg:
                     down = [jnp.concatenate([jnp.zeros_like(d), d], axis=0) for d in down]
                     mid = jnp.concatenate([jnp.zeros_like(mid), mid], axis=0)
@@ -441,15 +480,26 @@ class StableDiffusionBrushNetPipeline:
                 encoder output + skip stack and the brushnet mid/up residuals
                 ("Faster Diffusion", arXiv 2312.09608)."""
                 latent_in = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
-                down, mid, up = brushnet_apply(
-                    brushnet_params,
-                    latent_in.astype(self.dtype),
-                    t,
-                    brushnet_embeds.astype(self.dtype),
-                    cond_latents_b.astype(self.dtype),
-                    conditioning_scale=cond_scale,
-                    temb=temb_b[i],
-                )
+                if dedup_brushnet:
+                    down, mid, up = _tile2(brushnet_apply(
+                        brushnet_params,
+                        latents.astype(self.dtype),
+                        t,
+                        brushnet_embeds[latents.shape[0]:].astype(self.dtype),
+                        cond_latents.astype(self.dtype),
+                        conditioning_scale=cond_scale,
+                        temb=temb_b[i],
+                    ))
+                else:
+                    down, mid, up = brushnet_apply(
+                        brushnet_params,
+                        latent_in.astype(self.dtype),
+                        t,
+                        brushnet_embeds.astype(self.dtype),
+                        cond_latents_b.astype(self.dtype),
+                        conditioning_scale=cond_scale,
+                        temb=temb_b[i],
+                    )
                 noise_pred, enc = unet_apply(
                     unet_params,
                     latent_in.astype(self.dtype),
