@@ -47,9 +47,15 @@ def make_denoise(unet, brushnet, steps, mode, interval, dtype):
 
         def full(latents, t, i):
             latent_in = jnp.concatenate([latents, latents], axis=0).astype(dtype)
+            # exact BrushNet CFG dedup (conv-only branch; see PROFILE.md)
             down, mid, up = brushnet.apply(
-                bparams, latent_in, t, embeds.astype(dtype), cond2, temb=temb_b[i],
+                bparams, latents.astype(dtype), t,
+                embeds[:latents.shape[0]].astype(dtype),
+                cond.astype(dtype), temb=temb_b[i],
             )
+            down = [jnp.concatenate([d, d], 0) for d in down]
+            mid = jnp.concatenate([mid, mid], 0)
+            up = [jnp.concatenate([u, u], 0) for u in up]
             if mode == "deepcache":
                 pred, deep = unet.apply(
                     uparams, latent_in, t, embeds.astype(dtype),

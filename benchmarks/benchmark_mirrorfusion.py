@@ -82,10 +82,14 @@ def make_denoise(unet, brushnet, steps, batch, latent, dtype):
             latents, state = carry
             i, t = xs
             latent_in = jnp.concatenate([latents, latents], axis=0)
+            # exact BrushNet CFG dedup (conv-only branch; see PROFILE.md)
             down, mid, up = brushnet.apply(
-                bparams, latent_in.astype(dtype), t, embeds.astype(dtype),
-                jnp.concatenate([cond, cond], 0).astype(dtype),
+                bparams, latents.astype(dtype), t,
+                embeds[:latents.shape[0]].astype(dtype), cond.astype(dtype),
             )
+            down = [jnp.concatenate([d, d], 0) for d in down]
+            mid = jnp.concatenate([mid, mid], 0)
+            up = [jnp.concatenate([u, u], 0) for u in up]
             pred = unet.apply(
                 uparams, latent_in.astype(dtype), t, embeds.astype(dtype),
                 down_block_add_samples=down, mid_block_add_sample=mid,
@@ -119,10 +123,14 @@ def bench_denoise_dispatch(unet, uparams, brushnet, bparams, batch, latent,
 
     def step(uparams, bparams, latents, cond, embeds):
         latent_in = jnp.concatenate([latents, latents], 0)
+        # exact BrushNet CFG dedup (conv-only branch; see PROFILE.md)
         down, mid, up = brushnet.apply(
-            bparams, latent_in.astype(dtype), jnp.zeros((2 * batch,), jnp.int32),
-            embeds.astype(dtype), jnp.concatenate([cond, cond], 0).astype(dtype),
+            bparams, latents.astype(dtype), jnp.zeros((batch,), jnp.int32),
+            embeds[:batch].astype(dtype), cond.astype(dtype),
         )
+        down = [jnp.concatenate([d, d], 0) for d in down]
+        mid = jnp.concatenate([mid, mid], 0)
+        up = [jnp.concatenate([u, u], 0) for u in up]
         pred = unet.apply(
             uparams, latent_in.astype(dtype), jnp.zeros((2 * batch,), jnp.int32),
             embeds.astype(dtype), down_block_add_samples=down,

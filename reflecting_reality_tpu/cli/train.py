@@ -240,6 +240,7 @@ def main(argv=None):
         json.dump(vars(args), f, indent=2, default=str)
 
     custom_steps = set(args.custom_checkpoints or [])
+    nan_steps = 0
     rng = jax.random.PRNGKey(args.seed or 0)
     step = int(jax.device_get(state.step))
     t0 = time.time()
@@ -266,6 +267,24 @@ def main(argv=None):
                     "grad_norm": float(m["grad_norm"]),
                     "steps_per_sec": round(sps, 3),
                 }, step)
+                # Failure detection the reference lacks: a non-finite loss
+                # poisons AdamW state from that step on; stop with a clear
+                # message (and a usable last checkpoint) instead of training
+                # to max_steps on NaN weights.
+                if not np.isfinite(m["loss"]):
+                    nan_steps += 1
+                    logger.error("non-finite loss %s at step %d (%d/%d)",
+                                 m["loss"], step, nan_steps,
+                                 args.max_nonfinite_steps)
+                    if nan_steps >= args.max_nonfinite_steps:
+                        ckpt.save_state(args.output_dir, step, state,
+                                        brushnet_module, unet_module,
+                                        total_limit=None, keep=custom_steps)
+                        raise FloatingPointError(
+                            f"loss non-finite for {nan_steps} consecutive "
+                            f"logged steps; aborting at step {step}")
+                else:
+                    nan_steps = 0
 
             if step % args.checkpointing_steps == 0 or step in custom_steps:
                 path = ckpt.save_state(
@@ -434,6 +453,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--report_to", type=str, default="wandb")
     p.add_argument("--tracker_project_name", type=str, default="train_brushnet_mirror")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--max_nonfinite_steps", type=int, default=3,
+                   help="abort (after a final checkpoint) once the loss is "
+                        "non-finite for this many consecutive logged steps")
     # training
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--compilation_cache_dir", type=str, default=None,

@@ -173,3 +173,51 @@ class TestCLIJourney:
             "--seed", "0",
         ])
         assert len(os.listdir(infer_out)) == 2
+
+
+@pytest.mark.integration
+def test_nonfinite_loss_guard(tmp_path):
+    """A NaN in the input pipeline must abort training with a clear error
+    and a final checkpoint, not run to max_steps on poisoned weights."""
+    import h5py
+    import numpy as np
+
+    base = str(tmp_path / "base")
+    data = str(tmp_path / "data")
+    out = str(tmp_path / "run")
+    make_tiny_sd_checkpoint(base)
+    make_synmirror_data(data, n=8, size=64)
+    # poison every sample's depth with NaN -> cond latents -> NaN loss
+    for i in range(8):
+        p = os.path.join(data, f"obj/{i}.hdf5")
+        with h5py.File(p, "r+") as f:
+            d = np.array(f["depth"])
+            d[:] = np.nan
+            del f["depth"]
+            f["depth"] = d
+
+    from reflecting_reality_tpu.cli import train as train_cli
+
+    argv = [
+        "--pretrained_model_name_or_path", base,
+        "--train_data_dir", data,
+        "--output_dir", out,
+        "--resolution", "64",
+        "--train_batch_size", "1",
+        "--max_train_steps", "50",
+        "--checkpointing_steps", "100",
+        "--learning_rate", "1e-4",
+        "--lr_warmup_steps", "0",
+        "--depth_conditioning_mode", "concat",
+        "--report_to", "none",
+        "--logging_dir", os.path.join(out, "logs"),
+        "--validation_steps", "0",
+        "--seed", "0",
+        "--log_every", "1",
+        "--max_nonfinite_steps", "2",
+    ]
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        train_cli.main(argv)
+    # the guard saved a last checkpoint before aborting
+    ckpts = [d for d in os.listdir(out) if d.startswith("checkpoint-")]
+    assert len(ckpts) == 1
