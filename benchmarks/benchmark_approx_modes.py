@@ -142,7 +142,8 @@ def main():
     unet, uparams, brushnet, bparams = build_models(dtype)
 
     rows = []
-    for mode, interval in [("exact", 1), ("encoder_reuse", 2), ("encoder_reuse", 3)]:
+    for mode, interval in [("exact", 1), ("encoder_reuse", 2), ("encoder_reuse", 3),
+                           ("deepcache", 2), ("deepcache", 3)]:
         sps = bench(unet, uparams, brushnet, bparams, mode, interval, dtype)
         label = mode if mode == "exact" else f"{mode}_{interval}"
         rows.append(["denoise_512_" + label, 512, 1, "bf16", round(sps, 2),

@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat_policy", type=str, default="full", choices=["full", "dots"])
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "results.csv"))
     args = ap.parse_args()
 
@@ -61,6 +62,7 @@ def main():
     config = TrainConfig(
         learning_rate=1e-5, depth_conditioning_mode="concat",
         gradient_checkpointing=args.remat,
+        gradient_checkpointing_policy=args.remat_policy,
     )
     step_fn, init_state = make_train_step(unet, brushnet, vae, text, config, dtype=dtype)
     state = init_state(bparams, uparams, vparams, tparams)
@@ -107,11 +109,15 @@ def main():
         t0 = time.time(); state = sync(f2(state, jax.random.PRNGKey(2))); t2 = time.time() - t0
         best = min(best, (t2 - t1) / (n2 - n1))
     sps = 1.0 / best
-    note = f"train step bs={b} frozen-unet depth-concat" + (" remat" if args.remat else "")
+    note = (f"train step bs={b} frozen-unet depth-concat"
+            + (" remat" if args.remat else "")
+            + (f" policy={args.remat_policy}" if args.remat and args.remat_policy != "full" else ""))
     print(f"{sps:.2f} train steps/s ({b * sps:.2f} samples/s) — {note}", flush=True)
     with open(args.out, "a", newline="") as f:
         csv.writer(f).writerow(
-            [f"train_step_{args.resolution}_bs{b}" + ("_remat" if args.remat else ""),
+            [f"train_step_{args.resolution}_bs{b}"
+             + ("_remat" if args.remat else "")
+             + (f"_{args.remat_policy}" if args.remat and args.remat_policy != "full" else ""),
              args.resolution, b, "bf16", round(sps, 2), round(b * sps, 3), note]
         )
 

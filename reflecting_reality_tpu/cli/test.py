@@ -102,6 +102,23 @@ def run_inference(args, brushnet_path: str, output_dir: str, test_df) -> None:
         # reference torch_dtype semantics: half-precision WEIGHTS, not just
         # compute (halves param HBM traffic; VAE stays fp32)
         pipe.cast_params()
+    if args.data_parallel:
+        # shard the batched-seeds call over the local chips (requires
+        # --batch_seeds and num_images_per_validation % n_devices == 0)
+        import jax as _jax
+
+        from reflecting_reality_tpu.parallel.mesh import make_mesh
+
+        n = len(_jax.devices())
+        if not args.batch_seeds:
+            raise SystemExit("--data_parallel requires --batch_seeds")
+        if args.num_images_per_validation % n:
+            raise SystemExit(
+                f"--data_parallel: num_images_per_validation "
+                f"({args.num_images_per_validation}) must be divisible by "
+                f"the local device count ({n})"
+            )
+        pipe.enable_data_parallel(make_mesh(n))
     os.makedirs(output_dir, exist_ok=True)
 
     summarize = None
@@ -284,6 +301,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="summarization model for long prompts, e.g. "
                         "sshleifer/distilbart-cnn-6-6 (reference :298-301)")
     p.add_argument("--num_images_per_validation", type=int, default=4)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the batched-seeds generation over all local "
+                        "chips (one jitted SPMD program; needs --batch_seeds "
+                        "and seeds %% n_devices == 0)")
     p.add_argument("--batch_seeds", action="store_true",
                    help="generate all seeds in one batched pipeline call "
                         "(~20%% faster per image at batch 4-8; independent "

@@ -211,6 +211,7 @@ def main(argv=None):
         snr_gamma=args.snr_gamma,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         gradient_checkpointing=args.gradient_checkpointing,
+        gradient_checkpointing_policy=args.gradient_checkpointing_policy,
         train_base_unet=args.train_base_unet,
         use_ema=args.use_ema,
         depth_conditioning_mode=args.depth_conditioning_mode,
@@ -470,6 +471,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume_from_checkpoint", type=str, default=None)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument("--gradient_checkpointing_policy", type=str, default="full",
+                   choices=["full", "dots"],
+                   help="full = recompute whole branch forwards (reference "
+                        "semantics); dots = save matmul outputs, recompute "
+                        "the rest (faster, slightly more memory)")
     p.add_argument("--learning_rate", type=float, default=5e-6)
     p.add_argument("--scale_lr", action="store_true")
     p.add_argument("--lr_scheduler", type=str, default="constant")

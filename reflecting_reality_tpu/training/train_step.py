@@ -61,6 +61,12 @@ class TrainConfig:
     prediction_type: str = "epsilon"
     gradient_accumulation_steps: int = 1
     gradient_checkpointing: bool = False
+    # "full": recompute the whole branch forward in the backward pass
+    # (reference enable_gradient_checkpointing semantics).  "dots": save
+    # matmul/attention outputs, recompute only cheap ops
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — less
+    # recompute FLOPs for a modest activation-memory increase.
+    gradient_checkpointing_policy: str = "full"
     train_base_unet: bool = False
     use_ema: bool = False
     ema_decay: float = 0.9999
@@ -239,11 +245,18 @@ def make_train_step(unet, brushnet, vae, text_encoder, config: TrainConfig,
         if config.gradient_checkpointing:
             # remat both branch forwards: trade recompute for activation
             # memory (reference enable_gradient_checkpointing :1153-1155)
+            remat_kwargs = {}
+            if config.gradient_checkpointing_policy == "dots":
+                remat_kwargs["policy"] = (
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                )
+            elif config.gradient_checkpointing_policy != "full":
+                raise ValueError(config.gradient_checkpointing_policy)
             brushnet_apply = jax.checkpoint(
-                lambda p, *a, **k: brushnet.apply(p, *a, **k)
+                lambda p, *a, **k: brushnet.apply(p, *a, **k), **remat_kwargs
             )
             unet_apply = jax.checkpoint(
-                lambda p, *a, **k: unet.apply(p, *a, **k)
+                lambda p, *a, **k: unet.apply(p, *a, **k), **remat_kwargs
             )
 
         down, mid, up = brushnet_apply(

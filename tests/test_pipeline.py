@@ -274,3 +274,42 @@ def test_guess_mode_smoke(pipe):
                guess_mode=True)
     assert out.shape == (1, H, W, 3)
     assert np.isfinite(out.astype(np.float32)).all()
+
+
+class TestDataParallelGeneration:
+    def test_dp_matches_single_device(self, pipe):
+        """Batch-sharded generation over the 8-device mesh must reproduce the
+        unsharded output (same seeds, same program up to layout)."""
+        from reflecting_reality_tpu.parallel.mesh import make_mesh
+
+        image, mask, depth = _inputs()
+        kwargs = dict(
+            prompt="a photo of a mirror", image=image, mask=mask, depth=depth,
+            num_inference_steps=2, guidance_scale=7.5, seed=42,
+            num_images_per_prompt=8,
+        )
+        ref = pipe(**kwargs)
+        mesh = make_mesh(8)
+        pipe.enable_data_parallel(mesh)
+        try:
+            got = pipe(**kwargs)
+        finally:
+            pipe.disable_data_parallel()
+        assert got.shape == ref.shape == (8, H, W, 3)
+        # uint8 outputs; allow a 1-step rounding wobble from layout-dependent
+        # fp reassociation, but require virtually everything identical
+        diff = np.abs(got.astype(int) - ref.astype(int))
+        assert diff.max() <= 1 and (diff > 0).mean() < 0.01, (
+            diff.max(), (diff > 0).mean())
+
+    def test_dp_rejects_indivisible_batch(self, pipe):
+        from reflecting_reality_tpu.parallel.mesh import make_mesh
+
+        image, mask, depth = _inputs()
+        pipe.enable_data_parallel(make_mesh(8))
+        try:
+            with pytest.raises(ValueError, match="divisible"):
+                pipe(prompt="m", image=image, mask=mask, depth=depth,
+                     num_inference_steps=2, seed=0, num_images_per_prompt=3)
+        finally:
+            pipe.disable_data_parallel()

@@ -171,3 +171,21 @@ class TestMultihostHelpers:
         assert multihost.is_main_process()
         multihost.barrier("test")  # returns immediately at process_count 1
         assert multihost.local_shard([1, 2, 3]) == [1, 2, 3]
+
+
+class TestRematPolicy:
+    def test_dots_policy_matches_full(self):
+        """gradient_checkpointing_policy='dots' (save matmul outputs) must be
+        numerically equivalent to full-graph remat — it changes only what is
+        recomputed in the backward pass."""
+        results = {}
+        for policy in ("full", "dots"):
+            step_fn, state = build(
+                gradient_checkpointing=True,
+                gradient_checkpointing_policy=policy,
+            )
+            s1, m = jax.jit(step_fn)(state, batch_of(2), jax.random.PRNGKey(0))
+            results[policy] = (float(m["loss"]), float(m["grad_norm"]))
+        np.testing.assert_allclose(
+            results["full"], results["dots"], rtol=1e-5
+        )
