@@ -1,0 +1,140 @@
+"""HTTP serving layer: healthz + generate round-trip over a real socket
+against the tiny pipeline (rebuild addition; the reference ships batch
+scripts only)."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+from http.server import HTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reflecting_reality_tpu.cli.serve import PipelineServer, make_handler
+from reflecting_reality_tpu.data.tokenizer import HashTokenizer
+from reflecting_reality_tpu.models.brushnet import BrushNetModel
+from reflecting_reality_tpu.models.clip_text import CLIPTextModel
+from reflecting_reality_tpu.models.unet2d import UNet2DConditionModel
+from reflecting_reality_tpu.models.vae import AutoencoderKL
+from reflecting_reality_tpu.pipelines.brushnet_pipeline import (
+    StableDiffusionBrushNetPipeline,
+)
+
+H = W = 64
+
+
+@pytest.fixture(scope="module")
+def served():
+    cfg = dict(
+        block_out_channels=(8, 16, 16, 16),
+        attention_head_dim=2,
+        cross_attention_dim=32,
+        norm_num_groups=4,
+        layers_per_block=2,
+    )
+    unet = UNet2DConditionModel(sample_size=8, **cfg)
+    brushnet = BrushNetModel(conditioning_channels=6, **cfg)
+    vae = AutoencoderKL(block_out_channels=(8, 8, 8, 8), norm_num_groups=4)
+    text = CLIPTextModel(vocab_size=1000, hidden_size=32, num_hidden_layers=2,
+                         num_attention_heads=2, intermediate_size=64)
+    rngs = jax.random.split(jax.random.PRNGKey(0), 4)
+    sample = jnp.zeros((1, 8, 8, 4))
+    t = jnp.array([1])
+    ehs = jnp.zeros((1, 77, 32))
+    pipe = StableDiffusionBrushNetPipeline(
+        vae=(vae, vae.init(rngs[2], jnp.zeros((1, H, W, 3)), jax.random.PRNGKey(9))),
+        text_encoder=(text, text.init(rngs[3], jnp.zeros((1, 77), jnp.int32))),
+        tokenizer=HashTokenizer(vocab_size=1000),
+        unet=(unet, unet.init(rngs[0], sample, t, ehs)),
+        brushnet=(brushnet, brushnet.init(rngs[1], sample, t, ehs,
+                                          jnp.zeros((1, 8, 8, 6)))),
+        depth_conditioning_mode="concat",
+    )
+    server = PipelineServer(pipe, default_steps=2)
+    httpd = HTTPServer(("127.0.0.1", 0), make_handler(server))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _payload(seed=0):
+    rng = np.random.RandomState(7)
+    mask = np.zeros((H, W, 3), np.float32)
+    mask[16:48, 16:48] = 1.0
+    return {
+        "prompt": "a mirror",
+        "image": rng.rand(H, W, 3).astype(np.float32).tolist(),
+        "mask": mask.tolist(),
+        "depth": rng.rand(H, W, 1).astype(np.float32).tolist(),
+        "num_inference_steps": 2,
+        "seed": seed,
+    }
+
+
+def test_healthz(served):
+    with urllib.request.urlopen(served + "/healthz", timeout=60) as r:
+        body = json.loads(r.read())
+    assert r.status == 200 and body["status"] == "ok"
+
+
+def test_generate_roundtrip(served):
+    from PIL import Image
+
+    status, body = _post(served + "/generate", _payload())
+    assert status == 200, body
+    assert len(body["images"]) == 1 and body["latency_s"] > 0
+    img = Image.open(io.BytesIO(base64.b64decode(body["images"][0])))
+    assert img.size == (W, H)
+
+    # warm-path determinism: same seed, same bytes
+    status2, body2 = _post(served + "/generate", _payload())
+    assert status2 == 200 and body2["images"] == body["images"]
+
+
+def test_generate_b64_png_input(served):
+    from PIL import Image
+
+    def png_b64(arr):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    rng = np.random.RandomState(7)
+    mask = np.zeros((H, W), np.uint8)
+    mask[16:48, 16:48] = 255
+    payload = {
+        "prompt": "a mirror",
+        "image": png_b64(rng.randint(0, 256, (H, W, 3), np.uint8)),
+        "mask": png_b64(mask),
+        "depth": rng.rand(H, W, 1).astype(np.float32).tolist(),
+        "num_inference_steps": 2,
+    }
+    status, body = _post(served + "/generate", payload)
+    assert status == 200, body
+
+
+def test_generate_missing_field_400(served):
+    status, body = _post(served + "/generate", {"prompt": "x"})
+    assert status == 400 and "missing field" in body["error"]
+
+
+def test_unknown_path_404(served):
+    status, body = _post(served + "/nope", {})
+    assert status == 404
