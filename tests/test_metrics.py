@@ -386,3 +386,33 @@ class TestEvaluatePipeline:
             df_before["mask_PSNR"].values.astype(float),
             df_after["mask_PSNR"].values.astype(float),
         )
+
+    def test_sharded_eval_matches_unsharded(self, eval_setup):
+        """2-shard split (reference PartialState semantics) + shard-0 merge
+        must reproduce the single-process CSVs exactly."""
+        import pandas as pd
+
+        data_dir, infer_dir = eval_setup
+        base = [
+            "--train_data_dir", data_dir, "--infer_dir", infer_dir,
+            "--metrics", "mask_PSNR", "PSNR", "--mode", "calc",
+        ]
+        ev.main(base + ["--output_csv", "eval_us"])
+        # shard 1 first (writes its piece, no merge), then shard 0 (merges)
+        ev.main(base + ["--output_csv", "eval_sh",
+                        "--num_shards", "2", "--shard_id", "1"])
+        assert os.path.exists(os.path.join(infer_dir, "eval_sh_0_1.csv"))
+        ev.main(base + ["--output_csv", "eval_sh",
+                        "--num_shards", "2", "--shard_id", "0"])
+        # intermediates deleted by the merge
+        assert not os.path.exists(os.path.join(infer_dir, "eval_sh_0_1.csv"))
+        for i in range(4):
+            us = pd.read_csv(os.path.join(infer_dir, f"eval_us_{i}.csv"))
+            sh = pd.read_csv(os.path.join(infer_dir, f"eval_sh_{i}.csv"))
+            us = us.sort_values("uid").reset_index(drop=True)
+            sh = sh.sort_values("uid").reset_index(drop=True)
+            assert list(us["uid"]) == list(sh["uid"])
+            for col in ("mask_PSNR", "PSNR"):
+                np.testing.assert_allclose(
+                    us[col].values.astype(float), sh[col].values.astype(float)
+                )
