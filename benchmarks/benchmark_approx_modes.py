@@ -41,7 +41,6 @@ def make_denoise(unet, brushnet, steps, mode, interval, dtype):
 
     def denoise(uparams, bparams, latents, cond, embeds):
         state0 = sampler.init_state(latents)
-        cond2 = jnp.concatenate([cond, cond], 0).astype(dtype)
         temb_u = precompute_time_embeddings(unet, uparams, timesteps)
         temb_b = precompute_time_embeddings(brushnet, bparams, timesteps)
 

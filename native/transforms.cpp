@@ -22,6 +22,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 namespace {
@@ -138,15 +139,22 @@ std::vector<float> resize_bicubic(const float* src, int h, int w, int ch,
   return tmp;
 }
 
+// Python round() = banker's rounding (half to even); std::lround rounds
+// half away from zero, which would disagree on half-integer targets
+// (e.g. 512.5) and break native/numpy parity.
+inline int round_half_even(double x) {
+  return static_cast<int>(std::nearbyint(x));  // FE_TONEAREST = ties-to-even
+}
+
 // Shorter-side target size (torchvision Resize semantics, synmirror.py).
 void shorter_side(int h, int w, int resolution, int* nh, int* nw) {
   if (h <= w) {
     *nh = resolution;
-    *nw = std::max(1, static_cast<int>(std::lround(
-                          static_cast<double>(w) * resolution / h)));
+    *nw = std::max(1, round_half_even(
+                          static_cast<double>(w) * resolution / h));
   } else {
-    *nh = std::max(1, static_cast<int>(std::lround(
-                          static_cast<double>(h) * resolution / w)));
+    *nh = std::max(1, round_half_even(
+                          static_cast<double>(h) * resolution / w));
     *nw = resolution;
   }
 }
@@ -213,22 +221,36 @@ void rr_f32_img_transform(const float* src, int h, int w, int ch,
 // Depth max_scene_depth mode (apply_transforms_depth): max over mask>0
 // (+delta), clip to [0,max], /max, optional *2-1, resize, crop.
 // mask may be null (use max_scene_depth as given). to_pm1: 1 -> [-1,1].
-void rr_depth_transform(const float* depth, const uint8_t* mask, int h, int w,
-                        float max_scene_depth, float delta, int to_pm1,
-                        int resolution, float* dst) {
+// Returns 0 on success, 1 for an empty mask (caller falls back to the
+// numpy path, which raises loudly like the reference).  A NaN inside the
+// masked region poisons mx so the output is all-NaN, matching numpy's
+// max/clip NaN propagation.
+int rr_depth_transform(const float* depth, const uint8_t* mask, int h, int w,
+                       float max_scene_depth, float delta, int to_pm1,
+                       int resolution, float* dst) {
   float mx = max_scene_depth;
   if (mask != nullptr) {
     float m = -1e30f;
+    bool found = false, has_nan = false;
     size_t n = static_cast<size_t>(h) * w;
-    for (size_t i = 0; i < n; ++i)
-      if (mask[i] > 0 && depth[i] > m) m = depth[i];
+    for (size_t i = 0; i < n; ++i) {
+      if (mask[i] > 0) {
+        found = true;
+        if (std::isnan(depth[i])) has_nan = true;
+        else if (depth[i] > m) m = depth[i];
+      }
+    }
+    if (!found) return 1;
+    if (has_nan) m = std::numeric_limits<float>::quiet_NaN();
     // numpy computes float(max) + delta in f64 then casts at the clip/divide
     mx = static_cast<float>(static_cast<double>(m) + static_cast<double>(delta));
   }
   std::vector<float> unit(static_cast<size_t>(h) * w);
+  const bool mx_nan = std::isnan(mx);
   for (size_t i = 0; i < unit.size(); ++i) {
     float v = depth[i];
     if (v < 0.0f) v = 0.0f;
+    if (mx_nan) { unit[i] = std::numeric_limits<float>::quiet_NaN(); continue; }
     if (v > mx) v = mx;
     unit[i] = v / mx;  // division, matching numpy's rounding exactly
   }
@@ -237,6 +259,7 @@ void rr_depth_transform(const float* depth, const uint8_t* mask, int h, int w,
     for (size_t i = 0; i < unit.size(); ++i) unit[i] = 2.0f * unit[i] - 1.0f;
   }
   resize_crop_affine(unit.data(), h, w, 1, resolution, 0.0f, 1.0f, dst);
+  return 0;
 }
 
 // masked_image: out = image where mask != sentinel else 0 (u8, HWC + HW).
@@ -249,6 +272,6 @@ void rr_masked_image(const uint8_t* image, const uint8_t* mask, int h, int w,
   }
 }
 
-int rr_abi_version() { return 1; }
+int rr_abi_version() { return 2; }
 
 }  // extern "C"

@@ -44,8 +44,8 @@ logger = logging.getLogger(__name__)
 
 
 def _decode_image(value, channels: Optional[int] = None) -> np.ndarray:
-    """b64-PNG string or nested lists -> float32 HWC in [0, 1] ([-1,1] passes
-    through untouched for pre-normalized arrays)."""
+    """b64-PNG string, nested lists, or ndarray -> float32 HWC in [0, 1]
+    ([-1,1] passes through untouched for pre-normalized arrays)."""
     if isinstance(value, str):
         from PIL import Image
 
@@ -139,9 +139,13 @@ def make_handler(server: PipelineServer):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n))
+                if not isinstance(payload, dict):
+                    raise ValueError("body must be a JSON object")
                 self._reply(200, server.generate(payload))
             except KeyError as e:
                 self._reply(400, {"error": f"missing field: {e}"})
+            except (json.JSONDecodeError, ValueError, TypeError) as e:
+                self._reply(400, {"error": f"bad request: {e}"})
             except Exception as e:  # surface the error to the client
                 logger.exception("generate failed")
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
@@ -175,18 +179,24 @@ def build_pipeline(args):
     return pipe
 
 
-def warmup(server: PipelineServer, resolution: int, steps: int, depth: bool):
-    """Compile the (resolution, steps) program before accepting traffic."""
+def warmup(server: PipelineServer, resolution: int, steps: int, depth: bool,
+           normals_mode: Optional[str] = None):
+    """Compile the (resolution, steps) program before accepting traffic.
+    ndarrays pass straight through _decode_image's array branch."""
     logger.info("warmup: compiling %dx%d @ %d steps", resolution, resolution, steps)
     t0 = time.perf_counter()
     payload = {
         "prompt": "warmup",
-        "image": np.zeros((resolution, resolution, 3), np.float32).tolist(),
-        "mask": np.ones((resolution, resolution, 3), np.float32).tolist(),
+        "image": np.zeros((resolution, resolution, 3), np.float32),
+        "mask": np.ones((resolution, resolution, 3), np.float32),
         "num_inference_steps": steps,
     }
     if depth:
-        payload["depth"] = np.zeros((resolution, resolution, 1), np.float32).tolist()
+        payload["depth"] = np.zeros((resolution, resolution, 1), np.float32)
+    if normals_mode in ("concat", "latents"):
+        payload["normals"] = np.zeros((resolution, resolution, 3), np.float32)
+    elif normals_mode == "ip_adapter":
+        payload["normals"] = np.array([[0.0, 0.0, 1.0]], np.float32)
     server.generate(payload)
     logger.info("warmup done in %.1fs", time.perf_counter() - t0)
 
@@ -224,7 +234,8 @@ def main(argv=None):
     server = PipelineServer(pipe, default_steps=args.num_inference_steps)
     if args.warmup:
         warmup(server, args.warmup, args.num_inference_steps,
-               depth=args.depth_conditioning_mode is not None)
+               depth=args.depth_conditioning_mode is not None,
+               normals_mode=args.normals_conditioning_mode)
 
     httpd = HTTPServer((args.host, args.port), make_handler(server))
     logger.info("serving on http://%s:%d", args.host, args.port)

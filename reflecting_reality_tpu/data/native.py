@@ -64,13 +64,14 @@ def load() -> Optional[ctypes.CDLL]:
     try:
         lib = ctypes.CDLL(str(so_path))
         lib.rr_abi_version.restype = ctypes.c_int
-        if lib.rr_abi_version() != 1:
+        if lib.rr_abi_version() != 2:
             return None
         lib.rr_rgb_transform.argtypes = [_u8, _i, _i, _i, _i, _f32]
         lib.rr_mask_transform.argtypes = [_u8, _i, _i, _i, _f32]
         lib.rr_f32_img_transform.argtypes = [_f32, _i, _i, _i, _i, _f32]
         lib.rr_depth_transform.argtypes = [
             _f32, ctypes.c_void_p, _i, _i, _f, _f, _i, _i, _f32]
+        lib.rr_depth_transform.restype = ctypes.c_int
         lib.rr_masked_image.argtypes = [
             _u8, _u8, _i, _i, _i, ctypes.c_uint8, _u8]
         _lib = lib
@@ -137,8 +138,13 @@ def depth_transform(
     else:
         mask_p = None
     out = np.empty((resolution, resolution, 1), np.float32)
-    lib.rr_depth_transform(depth, mask_p, h, w, float(max_scene_depth),
-                           float(delta), int(to_pm1), resolution, out[:, :, 0])
+    rc = lib.rr_depth_transform(depth, mask_p, h, w, float(max_scene_depth),
+                                float(delta), int(to_pm1), resolution,
+                                out[:, :, 0])
+    if rc != 0:
+        # empty mask: fall back to numpy, which raises loudly (reference
+        # depth[mask].max() semantics)
+        return None
     return out
 
 

@@ -217,6 +217,9 @@ class StableDiffusionBrushNetPipeline:
         tail).  exact=True uses the psum-GroupNorm + halo-exchange variant
         (bit-parity with the unsharded decode up to fp32 noise); exact=False
         uses the overlapping-tile blend.  See parallel.sharded_vae."""
+        assert self._dp_mesh is None, (
+            "enable_sharded_vae and enable_data_parallel are mutually exclusive"
+        )
         self._sharded_vae = (mesh, axis_name, exact)
         self._jit_cache.clear()
 

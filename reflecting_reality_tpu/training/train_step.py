@@ -305,14 +305,30 @@ def make_train_step(unet, brushnet, vae, text_encoder, config: TrainConfig,
             grads = jax.tree_util.tree_map(
                 lambda g, m: g * m, grads, grad_mask(state.trainable)
             )
+        grad_norm = optax.global_norm(grads)
+        # Non-finite guard: a NaN/Inf loss or gradient must never reach the
+        # params or AdamW moments — keep the previous state for that step so
+        # the cli-level abort (cli/train.py max_nonfinite_steps) checkpoints
+        # clean weights.  The update is computed unconditionally (same graph)
+        # and discarded by the select.
+        finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda n, o: jnp.where(finite, n, o), new, old
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
-        trainable = optax.apply_updates(state.trainable, updates)
+        trainable = keep(
+            optax.apply_updates(state.trainable, updates), state.trainable
+        )
+        opt_state = keep(opt_state, state.opt_state)
         ema = state.ema
         if config.use_ema:
-            ema = ema_update(ema, trainable, state.step, config.ema_decay)
+            ema = keep(
+                ema_update(ema, trainable, state.step, config.ema_decay), ema
+            )
         metrics = {
             "loss": loss,
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": grad_norm,
+            "nonfinite_skipped": (~finite).astype(jnp.float32),
         }
         return (
             state.replace(

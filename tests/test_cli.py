@@ -218,6 +218,14 @@ def test_nonfinite_loss_guard(tmp_path):
     ]
     with pytest.raises(FloatingPointError, match="non-finite"):
         train_cli.main(argv)
-    # the guard saved a last checkpoint before aborting
+    # the guard saved a last checkpoint before aborting...
     ckpts = [d for d in os.listdir(out) if d.startswith("checkpoint-")]
     assert len(ckpts) == 1
+    # ...and the in-step finite-guard kept the weights clean: non-finite
+    # updates are skipped, so the serialized params contain no NaN/Inf
+    from reflecting_reality_tpu.core.io import load_safetensors
+
+    w = load_safetensors(os.path.join(
+        out, ckpts[0], "brushnet", "diffusion_pytorch_model.safetensors"))
+    for k, v in w.items():
+        assert np.isfinite(np.asarray(v, np.float32)).all(), k

@@ -114,3 +114,37 @@ def test_extract_lazy_keys_match_full(tmp_path):
     assert set(subset) == {"image", "mask", "masked_image", "depth"}
     for k, v in subset.items():
         np.testing.assert_array_equal(v, full[k])
+
+
+def test_half_integer_resize_target_parity(numpy_mode):
+    """1024x1025 -> target width 512.5: Python round() is half-to-even (512);
+    the native kernel must agree (regression: std::lround gave 513)."""
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, (1024, 1025, 3), np.uint8)
+    got = synmirror.apply_transforms_rgb(img, 512)
+    numpy_mode()
+    want = synmirror.apply_transforms_rgb(img, 512)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_depth_empty_mask_raises_like_numpy():
+    """An all-zero mirror mask must fail loudly (reference depth[mask].max()
+    semantics), not silently produce a constant depth plane."""
+    depth = np.random.RandomState(7).rand(64, 64).astype(np.float32)
+    empty = np.zeros((64, 64), np.uint8)
+    with pytest.raises(ValueError):
+        synmirror.apply_transforms_depth(depth, mask=empty, resolution=64)
+
+
+def test_depth_nan_propagates(numpy_mode):
+    """NaN inside the masked region must poison the output exactly as the
+    numpy max/clip path does (all-NaN), not be silently ignored."""
+    rng = np.random.RandomState(8)
+    depth = rng.rand(64, 64).astype(np.float32)
+    mask = np.zeros((64, 64), np.uint8)
+    mask[16:48, 16:48] = 255
+    depth[20, 20] = np.nan
+    got = synmirror.apply_transforms_depth(depth, mask=mask, resolution=64)
+    numpy_mode()
+    want = synmirror.apply_transforms_depth(depth, mask=mask, resolution=64)
+    assert np.isnan(got).all() and np.isnan(want).all()
