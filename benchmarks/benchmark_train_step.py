@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--remat_policy", type=str, default="full", choices=["full", "dots"])
+    ap.add_argument("--cached_latents", action="store_true",
+                    help="feed precomputed VAE moments (tools/precompute_latents.py "
+                         "path) instead of pixels — skips both in-step encodes")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "results.csv"))
     args = ap.parse_args()
 
@@ -69,13 +72,23 @@ def main():
 
     b = args.batch
     rs = np.random.RandomState(0)
-    batch = {
-        "pixel_values": jnp.asarray(rs.randn(b, H, W, 3), jnp.float32),
-        "conditioning_pixel_values": jnp.asarray(rs.randn(b, H, W, 3), jnp.float32),
-        "masks": jnp.asarray((rs.rand(b, H, W, 1) > 0.5), jnp.float32),
-        "depths": jnp.asarray(rs.randn(b, H, W, 1), jnp.float32),
-        "input_ids": jnp.asarray(rs.randint(0, 49408, (b, 77)), jnp.int32),
-    }
+    if args.cached_latents:
+        hl = wl = H // 8
+        batch = {
+            "latent_moments": jnp.asarray(rs.randn(b, hl, wl, 8), jnp.float32),
+            "cond_latent_moments": jnp.asarray(rs.randn(b, hl, wl, 8), jnp.float32),
+            "masks": jnp.asarray((rs.rand(b, hl, wl, 1) > 0.5), jnp.float32),
+            "depths": jnp.asarray(rs.randn(b, hl, wl, 1), jnp.float32),
+            "input_ids": jnp.asarray(rs.randint(0, 49408, (b, 77)), jnp.int32),
+        }
+    else:
+        batch = {
+            "pixel_values": jnp.asarray(rs.randn(b, H, W, 3), jnp.float32),
+            "conditioning_pixel_values": jnp.asarray(rs.randn(b, H, W, 3), jnp.float32),
+            "masks": jnp.asarray((rs.rand(b, H, W, 1) > 0.5), jnp.float32),
+            "depths": jnp.asarray(rs.randn(b, H, W, 1), jnp.float32),
+            "input_ids": jnp.asarray(rs.randint(0, 49408, (b, 77)), jnp.int32),
+        }
 
     import functools
 
@@ -111,13 +124,15 @@ def main():
     sps = 1.0 / best
     note = (f"train step bs={b} frozen-unet depth-concat"
             + (" remat" if args.remat else "")
-            + (f" policy={args.remat_policy}" if args.remat and args.remat_policy != "full" else ""))
+            + (f" policy={args.remat_policy}" if args.remat and args.remat_policy != "full" else "")
+            + (" cached-latents" if args.cached_latents else ""))
     print(f"{sps:.2f} train steps/s ({b * sps:.2f} samples/s) — {note}", flush=True)
     with open(args.out, "a", newline="") as f:
         csv.writer(f).writerow(
             [f"train_step_{args.resolution}_bs{b}"
              + ("_remat" if args.remat else "")
-             + (f"_{args.remat_policy}" if args.remat and args.remat_policy != "full" else ""),
+             + (f"_{args.remat_policy}" if args.remat and args.remat_policy != "full" else "")
+             + ("_cached" if args.cached_latents else ""),
              args.resolution, b, "bf16", round(sps, 2), round(b * sps, 3), note]
         )
 

@@ -171,20 +171,38 @@ def main(argv=None):
     df = pd.read_csv(os.path.join(args.train_data_dir, args.train_csv))
     if args.max_train_samples:
         df = df.iloc[: args.max_train_samples]
-    ds_cls = {"synmirror": HDF5Dataset, "msd": MSDDataset}[args.dataset_type]
-    dataset = ds_cls(
-        args.train_data_dir, df, tokenizer,
-        resolution=args.resolution,
-        proportion_empty_prompts=args.proportion_empty_prompts,
-        mirror_prompt=args.mirror_prompt,
-        caption_column=args.caption_column,
-        random_flip=args.random_flip,
-        seed=args.seed,
-        depth=args.depth_conditioning_mode is not None,
-        normals_conditioning_mode=args.normals_conditioning_mode or False,
-        hint_map_dir=args.hint_map_dir,
-        cam_states=args.cam_states,
-    )
+    if args.precomputed_latents_dir:
+        # moments cache (tools/precompute_latents.py): skips the per-step VAE
+        # encodes; sampling from the cached DiagonalGaussian stays stochastic
+        from reflecting_reality_tpu.data.latent_cache import LatentCachedDataset
+
+        if args.random_flip:
+            raise SystemExit(
+                "--precomputed_latents_dir caches one deterministic variant; "
+                "drop --random_flip or retrain without the cache"
+            )
+        dataset = LatentCachedDataset(
+            args.precomputed_latents_dir, df, tokenizer,
+            proportion_empty_prompts=args.proportion_empty_prompts,
+            mirror_prompt=args.mirror_prompt,
+            caption_column=args.caption_column,
+            seed=args.seed,
+        )
+    else:
+        ds_cls = {"synmirror": HDF5Dataset, "msd": MSDDataset}[args.dataset_type]
+        dataset = ds_cls(
+            args.train_data_dir, df, tokenizer,
+            resolution=args.resolution,
+            proportion_empty_prompts=args.proportion_empty_prompts,
+            mirror_prompt=args.mirror_prompt,
+            caption_column=args.caption_column,
+            random_flip=args.random_flip,
+            seed=args.seed,
+            depth=args.depth_conditioning_mode is not None,
+            normals_conditioning_mode=args.normals_conditioning_mode or False,
+            hint_map_dir=args.hint_map_dir,
+            cam_states=args.cam_states,
+        )
 
     mesh = make_mesh()
     n_dev = len(mesh.devices.flatten())
@@ -454,6 +472,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--report_to", type=str, default="wandb")
     p.add_argument("--tracker_project_name", type=str, default="train_brushnet_mirror")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--precomputed_latents_dir", type=str, default=None,
+                   help="VAE-moments cache from tools/precompute_latents.py; "
+                        "training samples from cached moments instead of "
+                        "encoding pixels every step")
     p.add_argument("--max_nonfinite_steps", type=int, default=3,
                    help="abort (after a final checkpoint) once the loss is "
                         "non-finite for this many consecutive logged steps")

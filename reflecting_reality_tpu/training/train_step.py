@@ -125,14 +125,33 @@ def assemble_conditioning_latents(
     vae_module, vae_params, batch: Dict[str, jnp.ndarray], rng: jax.Array,
     config: TrainConfig, dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
-    """-> (latents, conditioning_latents, ip_adapter_normal).  NHWC."""
+    """-> (latents, conditioning_latents, ip_adapter_normal).  NHWC.
+
+    When the batch carries precomputed encoder moments (tools/
+    precompute_latents.py: `latent_moments`, `cond_latent_moments`, and
+    `depth_latent_moments`/`normals_latent_moments` for the `latents`
+    modes), sampling draws from the cached DiagonalGaussian instead of
+    running the VAE encoder — statistically identical to the reference's
+    per-step `vae.encode(...).latent_dist.sample()` (the stochastic draw
+    still happens every step), but the encoder FLOPs are paid once per
+    dataset instead of once per step."""
+    from reflecting_reality_tpu.models.vae import DiagonalGaussian
+
     r1, r2, r3, r4 = jax.random.split(rng, 4)
     enc = lambda img, r: vae_module.apply(
         vae_params, img.astype(dtype), method=vae_module.encode
     ).sample(r) * config.scaling_factor
+    from_cache = lambda key, r: DiagonalGaussian.from_moments(
+        batch[key].astype(dtype)
+    ).sample(r) * config.scaling_factor
 
-    latents = enc(batch["pixel_values"], r1)
-    cond = enc(batch["conditioning_pixel_values"], r2)
+    cached = "latent_moments" in batch
+    if cached:
+        latents = from_cache("latent_moments", r1)
+        cond = from_cache("cond_latent_moments", r2)
+    else:
+        latents = enc(batch["pixel_values"], r1)
+        cond = enc(batch["conditioning_pixel_values"], r2)
     hl, wl = latents.shape[1:3]
 
     mask = nearest_resize_nhwc(batch["masks"], hl, wl)
@@ -142,15 +161,21 @@ def assemble_conditioning_latents(
         d = nearest_resize_nhwc(batch["depths"], hl, wl)
         cond = jnp.concatenate([cond, d.astype(cond.dtype)], axis=-1)
     elif config.depth_conditioning_mode == "latents":
-        d3 = jnp.repeat(batch["depths"], 3, axis=-1)
-        cond = jnp.concatenate([cond, enc(d3, r3)], axis=-1)
+        if cached:
+            cond = jnp.concatenate([cond, from_cache("depth_latent_moments", r3)], axis=-1)
+        else:
+            d3 = jnp.repeat(batch["depths"], 3, axis=-1)
+            cond = jnp.concatenate([cond, enc(d3, r3)], axis=-1)
 
     normal_vec = None
     if config.normals_conditioning_mode == "concat":
         n = nearest_resize_nhwc(batch["normals"], hl, wl)
         cond = jnp.concatenate([cond, n.astype(cond.dtype)], axis=-1)
     elif config.normals_conditioning_mode == "latents":
-        cond = jnp.concatenate([cond, enc(batch["normals"], r4)], axis=-1)
+        if cached:
+            cond = jnp.concatenate([cond, from_cache("normals_latent_moments", r4)], axis=-1)
+        else:
+            cond = jnp.concatenate([cond, enc(batch["normals"], r4)], axis=-1)
     elif config.normals_conditioning_mode == "ip_adapter":
         normal_vec = batch["normals"]  # (B, 1, 3) normalized mirror normal
 

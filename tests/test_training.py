@@ -189,3 +189,79 @@ class TestRematPolicy:
         np.testing.assert_allclose(
             results["full"], results["dots"], rtol=1e-5
         )
+
+
+class TestLatentCache:
+    def test_cached_moments_step_equals_direct(self):
+        """A step fed precomputed VAE moments (latent_moments keys) must be
+        BIT-IDENTICAL to the pixel-encoding step under the same rng: the
+        cached DiagonalGaussian is the same distribution the encoder
+        produces, and the stochastic draw uses the same split keys."""
+        from reflecting_reality_tpu.models.vae import AutoencoderKL
+
+        step_fn, state = build()
+        batch = batch_of(2)
+        rng = jax.random.PRNGKey(5)
+        _, m_direct = jax.jit(step_fn)(state, batch, rng)
+
+        vae = AutoencoderKL(block_out_channels=(4, 4, 4, 4), norm_num_groups=2)
+
+        def moments(img):
+            d = vae.apply(state.frozen["vae"], img, method=vae.encode)
+            return jnp.concatenate([d.mean, d.logvar], axis=-1)
+
+        hl = wl = H // 8
+        cached = {
+            "latent_moments": moments(batch["pixel_values"]),
+            "cond_latent_moments": moments(batch["conditioning_pixel_values"]),
+            "masks": batch["masks"],
+            "depths": batch["depths"],
+            "input_ids": batch["input_ids"],
+        }
+        _, m_cached = jax.jit(step_fn)(state, cached, rng)
+        np.testing.assert_array_equal(
+            np.asarray(m_direct["loss"]), np.asarray(m_cached["loss"])
+        )
+        # grads are mathematically identical (latents are stop_gradient'ed)
+        # but the cached program fuses differently -> ulp-level reassociation
+        np.testing.assert_allclose(
+            np.asarray(m_direct["grad_norm"]), np.asarray(m_cached["grad_norm"]),
+            rtol=1e-4,
+        )
+
+    def test_precompute_tool_and_dataset_roundtrip(self, tmp_path):
+        """tools/precompute_latents.py -> LatentCachedDataset -> one train
+        step through cli-style wiring on synthetic data."""
+        pytest.importorskip("h5py")
+        from tests.tiny_checkpoint import make_synmirror_data, make_tiny_sd_checkpoint
+        from reflecting_reality_tpu.tools import precompute_latents
+        from reflecting_reality_tpu.data.latent_cache import LatentCachedDataset
+        from reflecting_reality_tpu.data.tokenizer import HashTokenizer
+        import pandas as pd
+        import os
+
+        base = str(tmp_path / "base")
+        data = str(tmp_path / "data")
+        cache = str(tmp_path / "cache")
+        make_tiny_sd_checkpoint(base)
+        make_synmirror_data(data, n=4, size=64)
+
+        precompute_latents.main([
+            "--pretrained_model_name_or_path", base,
+            "--train_data_dir", data,
+            "--output_dir", cache,
+            "--resolution", "64",
+            "--batch_size", "2",
+            "--depth_conditioning_mode", "concat",
+        ])
+        files = sorted(os.listdir(cache))
+        assert len(files) == 4
+
+        df = pd.read_csv(os.path.join(data, "train.csv"))
+        ds = LatentCachedDataset(cache, df, HashTokenizer(100), seed=0)
+        ex = ds[0]
+        assert ex["latent_moments"].shape == (8, 8, 8)
+        assert ex["cond_latent_moments"].shape == (8, 8, 8)
+        assert ex["masks"].shape == (8, 8, 1)
+        assert ex["depths"].shape == (8, 8, 1)
+        assert ex["input_ids"].shape == (77,)
