@@ -21,6 +21,7 @@ from reflecting_reality_tpu.data.synmirror import (
     apply_transforms_depth,
     apply_transforms_normals,
     extract_data_from_hdf5,
+    normals_to_uint8,
 )
 from reflecting_reality_tpu.parallel.mesh import split_between_processes
 from reflecting_reality_tpu.pipelines.brushnet_pipeline import StableDiffusionBrushNetPipeline
@@ -202,7 +203,7 @@ def run_inference(args, brushnet_path: str, output_dir: str, test_df) -> None:
                     )
                 else:
                     normal_image = Image.fromarray(
-                        np.asarray(raw_normals, np.uint8), mode="RGB"
+                        normals_to_uint8(raw_normals), mode="RGB"
                     )
 
         out_path = os.path.join(output_dir, out_name)

@@ -339,6 +339,7 @@ def run_validation(args, state, unet_module, brushnet_module, vae, text,
 
     from reflecting_reality_tpu.data.synmirror import (
         apply_transforms_depth, apply_transforms_normals, extract_data_from_hdf5,
+        normals_to_uint8,
     )
     from reflecting_reality_tpu.metrics.functional import psnr_ssim
     from reflecting_reality_tpu.pipelines.brushnet_pipeline import StableDiffusionBrushNetPipeline
@@ -408,7 +409,7 @@ def run_validation(args, state, unet_module, brushnet_module, vae, text,
         if args.normals_conditioning_mode in ("concat", "latents"):
             # raw normals image; the pipeline preprocesses it (reference
             # get_hdf5_data :131-132)
-            normals = Image.fromarray(np.asarray(data["normals"], np.uint8), mode="RGB")
+            normals = Image.fromarray(normals_to_uint8(data["normals"]), mode="RGB")
         elif args.normals_conditioning_mode == "ip_adapter":
             normals = apply_transforms_normals(
                 data["normals"], mask=data["mask"],

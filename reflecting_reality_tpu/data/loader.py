@@ -55,7 +55,9 @@ class DataLoader:
 
     def __len__(self):
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        if self.drop_last or self.process_count > 1:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
@@ -66,7 +68,12 @@ class DataLoader:
         self.epoch += 1
 
         lo = self.process_index * self.local_batch_size
-        stop = n - (n % self.batch_size) if self.drop_last else n
+        # Multi-host: a partial tail batch would give ranks unequal (or
+        # empty) local slices and desync the global-array assembly in
+        # shard_batch, so the tail is always dropped when process_count > 1
+        # (torch DistributedSampler drops/pads the same way).
+        drop = self.drop_last or self.process_count > 1
+        stop = n - (n % self.batch_size) if drop else n
         with ThreadPoolExecutor(self.num_workers) as pool:
             pending = []
             for start in range(0, stop, self.batch_size):

@@ -183,6 +183,16 @@ def apply_transforms_normals(
     return (x - 0.5) / 0.5
 
 
+def normals_to_uint8(normals: np.ndarray) -> np.ndarray:
+    """HDF5 normals are float in [0, 1] (see apply_transforms_normals);
+    converting to a uint8 image needs the x255 scale — a bare uint8 cast
+    truncates everything to 0 (a black image).  uint8 input passes through."""
+    arr = np.asarray(normals)
+    if arr.dtype == np.uint8:
+        return arr
+    return np.round(np.clip(arr, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
 def decode_cam_states(cam_states: np.ndarray):
     data = json.loads(np.asarray(cam_states).tobytes().decode("utf-8"))
     return data["cam2world"], data["cam_K"]

@@ -41,6 +41,16 @@ from reflecting_reality_tpu.schedulers.ddim import ddim_step
 from reflecting_reality_tpu.schedulers.unipc import UniPCSampler
 
 
+def _tile_residuals(res):
+    """Tile half-batch BrushNet residuals to both CFG halves (exact dedup)."""
+    down, mid, up = res
+    return (
+        [jnp.concatenate([d, d], axis=0) for d in down],
+        jnp.concatenate([mid, mid], axis=0),
+        [jnp.concatenate([u, u], axis=0) for u in up],
+    )
+
+
 class StableDiffusionBrushNetPipeline:
     """Inference pipeline over (module, params) pairs.
 
@@ -257,6 +267,29 @@ class StableDiffusionBrushNetPipeline:
         self._dp_mesh = None
         self._jit_cache.clear()
 
+    def _brushnet_cfg_dedup(self, do_cfg: bool, guess_mode: bool) -> bool:
+        """MirrorFusion's BrushNet is conv-only (no block consumes text,
+        models/brushnet.py:46-48 / reference brushnet.py:144-156), so under
+        CFG its two batch halves see bitwise-identical inputs — the latents
+        and conditioning latents are CFG-duplicated and the time embedding
+        is text-independent.  The reference computes the branch twice
+        (pipeline_brushnet.py:1277-1285); we run it once at half batch and
+        tile the 28 residuals.  Exact, ~28% of the dual-branch step saved.
+        Auto-disabled when any brushnet block has cross-attention (the SDXL
+        text_time variant overrides its own sampler anyway)."""
+        from reflecting_reality_tpu.models.unet_blocks import (
+            DOWN_BLOCKS, MID_BLOCKS, UP_BLOCKS,
+        )
+
+        bn = self.brushnet_module
+        return (
+            do_cfg
+            and not guess_mode
+            and not any(DOWN_BLOCKS[t].has_cross_attention for t in bn.down_block_types)
+            and not MID_BLOCKS[bn.mid_block_type].has_cross_attention
+            and not any(UP_BLOCKS[t].has_cross_attention for t in bn.up_block_types)
+        )
+
     def enable_encoder_reuse(self, interval: int = 2) -> None:
         """Encoder reuse ("Faster Diffusion", arXiv 2312.09608, from the
         retrieved-papers list): every `interval`-th step runs the full dual
@@ -394,33 +427,8 @@ class StableDiffusionBrushNetPipeline:
         if deep_cache is not None or encoder_reuse is not None:
             assert not guess_mode, "cached modes + guess_mode unsupported"
 
-        # MirrorFusion's BrushNet is conv-only (no block consumes text,
-        # models/brushnet.py:46-48 / reference brushnet.py:144-156), so under
-        # CFG its two batch halves see bitwise-identical inputs — the latents
-        # and conditioning latents are CFG-duplicated and the time embedding
-        # is text-independent.  The reference computes the branch twice
-        # (pipeline_brushnet.py:1277-1285); we run it once at half batch and
-        # tile the 28 residuals.  Exact, ~28% of the dual-branch step saved.
-        from reflecting_reality_tpu.models.unet_blocks import (
-            DOWN_BLOCKS, MID_BLOCKS, UP_BLOCKS,
-        )
-
-        bn = self.brushnet_module
-        dedup_brushnet = (
-            do_cfg
-            and not guess_mode
-            and not any(DOWN_BLOCKS[t].has_cross_attention for t in bn.down_block_types)
-            and not MID_BLOCKS[bn.mid_block_type].has_cross_attention
-            and not any(UP_BLOCKS[t].has_cross_attention for t in bn.up_block_types)
-        )
-
-        def _tile2(res):
-            down, mid, up = res
-            return (
-                [jnp.concatenate([d, d], axis=0) for d in down],
-                jnp.concatenate([mid, mid], axis=0),
-                [jnp.concatenate([u, u], axis=0) for u in up],
-            )
+        dedup_brushnet = self._brushnet_cfg_dedup(do_cfg, guess_mode)
+        _tile2 = _tile_residuals
 
         def denoise_and_decode(unet_params, brushnet_params, vae_params,
                                latents, cond_latents, prompt_embeds,
@@ -668,8 +676,7 @@ class StableDiffusionBrushNetPipeline:
 
         unet_apply = self.unet_module.apply
         brushnet_apply = self.brushnet_module.apply
-        vae_module = self.vae_module
-        vae_tiling = self._vae_tiling
+        dedup_brushnet = self._brushnet_cfg_dedup(do_cfg, guess_mode)
 
         def step_fn(unet_params, brushnet_params, latents, state,
                     cond_latents, prompt_embeds, brushnet_embeds, i, keep_scales):
@@ -683,17 +690,27 @@ class StableDiffusionBrushNetPipeline:
                 bn_embeds = brushnet_embeds[brushnet_embeds.shape[0] // 2:]
 
             latent_in = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
-            control_in = latents if (guess_mode and do_cfg) else latent_in
-            down, mid, up = brushnet_apply(
-                brushnet_params,
-                control_in.astype(self.dtype),
-                t,
-                bn_embeds.astype(self.dtype),
-                cond_latents_b.astype(self.dtype)
-                if not (guess_mode and do_cfg) else cond_latents.astype(self.dtype),
-                conditioning_scale=cond_scale,
-                guess_mode=guess_mode,
-            )
+            if dedup_brushnet:
+                down, mid, up = _tile_residuals(brushnet_apply(
+                    brushnet_params,
+                    latents.astype(self.dtype),
+                    t,
+                    brushnet_embeds[latents.shape[0]:].astype(self.dtype),
+                    cond_latents.astype(self.dtype),
+                    conditioning_scale=cond_scale,
+                ))
+            else:
+                control_in = latents if (guess_mode and do_cfg) else latent_in
+                down, mid, up = brushnet_apply(
+                    brushnet_params,
+                    control_in.astype(self.dtype),
+                    t,
+                    bn_embeds.astype(self.dtype),
+                    cond_latents_b.astype(self.dtype)
+                    if not (guess_mode and do_cfg) else cond_latents.astype(self.dtype),
+                    conditioning_scale=cond_scale,
+                    guess_mode=guess_mode,
+                )
             if guess_mode and do_cfg:
                 down = [jnp.concatenate([jnp.zeros_like(d), d], axis=0) for d in down]
                 mid = jnp.concatenate([jnp.zeros_like(mid), mid], axis=0)

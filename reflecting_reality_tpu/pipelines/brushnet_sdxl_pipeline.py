@@ -130,8 +130,7 @@ class StableDiffusionXLBrushNetPipeline(StableDiffusionBrushNetPipeline):
 
         unet_apply = self.unet_module.apply
         brushnet_apply = self.brushnet_module.apply
-        vae_module = self.vae_module
-        vae_tiling = self._vae_tiling
+        decode_fn = self._make_decode_fn()
 
         def run(unet_params, brushnet_params, vae_params, latents, cond,
                 prompt_embeds, added, keep):
@@ -181,20 +180,30 @@ class StableDiffusionXLBrushNetPipeline(StableDiffusionBrushNetPipeline):
                     body, latents, (timesteps, prev, keep["cond_scale"])
                 )
 
-            z = (latents / self.scaling_factor).astype(self.dtype)
-            if vae_tiling is not None:
-                from reflecting_reality_tpu.parallel.sharded_vae import tiled_decode
-
-                img = tiled_decode(vae_module, vae_params, z,
-                                   num_tiles=vae_tiling[0], overlap=vae_tiling[1],
-                                   scale=self.vae_scale_factor)
-            else:
-                img = vae_module.apply(vae_params, z, method=vae_module.decode)
-            return img.astype(jnp.float32)
+            # decode honoring the active toggles (sharded > tiled > plain);
+            # same dispatch as the SD-1.5 path (base _make_decode_fn)
+            return decode_fn(vae_params, latents)
 
         fn = jax.jit(run)
         self._jit_cache[key] = fn
         return fn
+
+    def enable_data_parallel(self, mesh, axis_name: str = "data") -> None:
+        raise NotImplementedError(
+            "data-parallel generation is implemented for the SD-1.5 sampler "
+            "only; the SDXL __call__ does not shard its inputs yet"
+        )
+
+    def enable_deep_cache(self, interval: int = 2) -> None:
+        raise NotImplementedError(
+            "DeepCache is implemented for the SD-1.5 sampler only; the SDXL "
+            "sampler has no cached-trunk path"
+        )
+
+    def enable_encoder_reuse(self, interval: int = 2) -> None:
+        raise NotImplementedError(
+            "encoder reuse is implemented for the SD-1.5 sampler only"
+        )
 
     # ----------------------------------------------------------------- call
 

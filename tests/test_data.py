@@ -206,3 +206,39 @@ class TestMultiHostLoader:
         np.testing.assert_array_equal(np.asarray(a["x"]), np.asarray(b["x"]))
         assert b["x"].sharding.spec == a["x"].sharding.spec
         assert len(b["x"].addressable_shards) == 8
+
+
+def test_normals_to_uint8_scales_floats():
+    """Float [0,1] normals must be x255-scaled, not truncated to black
+    (regression: bare uint8 cast in the test/train CLIs)."""
+    from reflecting_reality_tpu.data.synmirror import normals_to_uint8
+
+    f = np.array([[[0.0, 0.5, 1.0]]], np.float32)
+    out = normals_to_uint8(f)
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, [[[0, 128, 255]]])
+    u = np.array([[[3, 7, 9]]], np.uint8)
+    np.testing.assert_array_equal(normals_to_uint8(u), u)
+
+
+def test_multihost_loader_drops_partial_tail():
+    """With process_count > 1 a partial tail batch would give ranks unequal
+    local slices; the loader must drop it (DistributedSampler semantics)."""
+    from reflecting_reality_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.float32)}
+
+    per_rank = []
+    for rank in (0, 1):
+        loader = DataLoader(DS(), batch_size=8, shuffle=False,
+                            process_index=rank, process_count=2)
+        batches = list(loader)
+        assert len(batches) == len(loader) == 1  # tail of 2 samples dropped
+        assert batches[0]["x"].shape == (4, 2)
+        per_rank.append(batches[0]["x"][:, 0].astype(int).tolist())
+    assert per_rank[0] + per_rank[1] == list(range(8))
