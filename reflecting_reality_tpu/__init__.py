@@ -29,6 +29,8 @@ _LAZY = {
     "TrainConfig": "reflecting_reality_tpu.training.train_step",
     "make_train_step": "reflecting_reality_tpu.training.train_step",
     "MetricsCalculator": "reflecting_reality_tpu.metrics.calculator",
+    "LatentCachedDataset": "reflecting_reality_tpu.data.latent_cache",
+    "enable_compilation_cache": "reflecting_reality_tpu.core.jit_cache",
 }
 
 __all__ = sorted(_LAZY) + ["__version__"]
