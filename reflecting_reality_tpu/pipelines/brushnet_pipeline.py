@@ -267,6 +267,55 @@ class StableDiffusionBrushNetPipeline:
         self._dp_mesh = None
         self._jit_cache.clear()
 
+    def _make_branch_residuals_fn(self, do_cfg: bool, guess_mode: bool):
+        """The single source of truth for one BrushNet branch evaluation —
+        shared by the scan sampler (branch_forward / er_full) and the
+        per-step dispatch so the dedup/guess-mode/CFG layout logic cannot
+        drift between dispatch modes.
+
+        Returns residuals(brushnet_params, latents, latent_in, t,
+        brushnet_embeds, cond_latents, cond_scale, temb=None) -> (down, mid,
+        up) at the model batch (2B under CFG), with guess-mode zero-padding
+        applied (reference pipeline_brushnet.py:1260-1295)."""
+        brushnet_apply = self.brushnet_module.apply
+        dtype = self.dtype
+        dedup = self._brushnet_cfg_dedup(do_cfg, guess_mode)
+
+        def residuals(brushnet_params, latents, latent_in, t, brushnet_embeds,
+                      cond_latents, cond_scale, temb=None):
+            kw = {} if temb is None else {"temb": temb}
+            if dedup:
+                # conv-only branch, identical CFG halves: half batch + tile
+                down, mid, up = _tile_residuals(brushnet_apply(
+                    brushnet_params, latents.astype(dtype), t,
+                    brushnet_embeds[latents.shape[0]:].astype(dtype),
+                    cond_latents.astype(dtype),
+                    conditioning_scale=cond_scale, **kw,
+                ))
+            elif guess_mode and do_cfg:
+                # guess mode: brushnet runs on the cond half only; the
+                # uncond half gets zero residuals
+                bn_embeds = brushnet_embeds[brushnet_embeds.shape[0] // 2:]
+                down, mid, up = brushnet_apply(
+                    brushnet_params, latents.astype(dtype), t,
+                    bn_embeds.astype(dtype), cond_latents.astype(dtype),
+                    conditioning_scale=cond_scale, guess_mode=True, **kw,
+                )
+                down = [jnp.concatenate([jnp.zeros_like(d), d], axis=0) for d in down]
+                mid = jnp.concatenate([jnp.zeros_like(mid), mid], axis=0)
+                up = [jnp.concatenate([jnp.zeros_like(u), u], axis=0) for u in up]
+            else:
+                cond_b = (jnp.concatenate([cond_latents, cond_latents], axis=0)
+                          if do_cfg else cond_latents)
+                down, mid, up = brushnet_apply(
+                    brushnet_params, latent_in.astype(dtype), t,
+                    brushnet_embeds.astype(dtype), cond_b.astype(dtype),
+                    conditioning_scale=cond_scale, guess_mode=guess_mode, **kw,
+                )
+            return down, mid, up
+
+        return residuals
+
     def _brushnet_cfg_dedup(self, do_cfg: bool, guess_mode: bool) -> bool:
         """MirrorFusion's BrushNet is conv-only (no block consumes text,
         models/brushnet.py:46-48 / reference brushnet.py:144-156), so under
@@ -427,8 +476,7 @@ class StableDiffusionBrushNetPipeline:
         if deep_cache is not None or encoder_reuse is not None:
             assert not guess_mode, "cached modes + guess_mode unsupported"
 
-        dedup_brushnet = self._brushnet_cfg_dedup(do_cfg, guess_mode)
-        _tile2 = _tile_residuals
+        residuals_fn = self._make_branch_residuals_fn(do_cfg, guess_mode)
 
         def denoise_and_decode(unet_params, brushnet_params, vae_params,
                                latents, cond_latents, prompt_embeds,
@@ -437,12 +485,6 @@ class StableDiffusionBrushNetPipeline:
             # only in ip_adapter mode, where the unet sees text + the appended
             # normal token but the brushnet keeps the 77 text tokens
             # (reference MirrorFusionModel.forward :858-888).
-            cond_latents_b = cond_latents
-            if do_cfg and not guess_mode:
-                cond_latents_b = jnp.concatenate([cond_latents, cond_latents], axis=0)
-
-            if guess_mode and do_cfg:
-                brushnet_embeds = brushnet_embeds[brushnet_embeds.shape[0] // 2:]
 
             # fused time-embedding GEMMs: batch the timestep MLPs over all N
             # steps once, outside the scan; the body indexes the tables.
@@ -454,33 +496,10 @@ class StableDiffusionBrushNetPipeline:
             def branch_forward(latents, t, cond_scale, i):
                 """Full dual-branch forward; returns (pred, cache)."""
                 latent_in = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
-                if dedup_brushnet:
-                    down, mid, up = _tile2(brushnet_apply(
-                        brushnet_params,
-                        latents.astype(self.dtype),
-                        t,
-                        brushnet_embeds[latents.shape[0]:].astype(self.dtype),
-                        cond_latents.astype(self.dtype),
-                        conditioning_scale=cond_scale,
-                        temb=temb_b[i],
-                    ))
-                else:
-                    control_in = latents if (guess_mode and do_cfg) else latent_in
-                    down, mid, up = brushnet_apply(
-                        brushnet_params,
-                        control_in.astype(self.dtype),
-                        t,
-                        brushnet_embeds.astype(self.dtype),
-                        cond_latents_b.astype(self.dtype)
-                        if not (guess_mode and do_cfg) else cond_latents.astype(self.dtype),
-                        conditioning_scale=cond_scale,
-                        guess_mode=guess_mode,
-                        temb=temb_b[i],
-                    )
-                if guess_mode and do_cfg:
-                    down = [jnp.concatenate([jnp.zeros_like(d), d], axis=0) for d in down]
-                    mid = jnp.concatenate([jnp.zeros_like(mid), mid], axis=0)
-                    up = [jnp.concatenate([jnp.zeros_like(u), u], axis=0) for u in up]
+                down, mid, up = residuals_fn(
+                    brushnet_params, latents, latent_in, t, brushnet_embeds,
+                    cond_latents, cond_scale, temb=temb_b[i],
+                )
                 out = unet_apply(
                     unet_params,
                     latent_in.astype(self.dtype),
@@ -522,26 +541,10 @@ class StableDiffusionBrushNetPipeline:
                 encoder output + skip stack and the brushnet mid/up residuals
                 ("Faster Diffusion", arXiv 2312.09608)."""
                 latent_in = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
-                if dedup_brushnet:
-                    down, mid, up = _tile2(brushnet_apply(
-                        brushnet_params,
-                        latents.astype(self.dtype),
-                        t,
-                        brushnet_embeds[latents.shape[0]:].astype(self.dtype),
-                        cond_latents.astype(self.dtype),
-                        conditioning_scale=cond_scale,
-                        temb=temb_b[i],
-                    ))
-                else:
-                    down, mid, up = brushnet_apply(
-                        brushnet_params,
-                        latent_in.astype(self.dtype),
-                        t,
-                        brushnet_embeds.astype(self.dtype),
-                        cond_latents_b.astype(self.dtype),
-                        conditioning_scale=cond_scale,
-                        temb=temb_b[i],
-                    )
+                down, mid, up = residuals_fn(
+                    brushnet_params, latents, latent_in, t, brushnet_embeds,
+                    cond_latents, cond_scale, temb=temb_b[i],
+                )
                 noise_pred, enc = unet_apply(
                     unet_params,
                     latent_in.astype(self.dtype),
@@ -675,46 +678,19 @@ class StableDiffusionBrushNetPipeline:
             raise ValueError(scheduler_name)
 
         unet_apply = self.unet_module.apply
-        brushnet_apply = self.brushnet_module.apply
-        dedup_brushnet = self._brushnet_cfg_dedup(do_cfg, guess_mode)
+        residuals_fn = self._make_branch_residuals_fn(do_cfg, guess_mode)
 
         def step_fn(unet_params, brushnet_params, latents, state,
                     cond_latents, prompt_embeds, brushnet_embeds, i, keep_scales):
             t = timesteps[i]
             cond_scale = keep_scales["cond_scale"][i]
-            cond_latents_b = cond_latents
-            if do_cfg and not guess_mode:
-                cond_latents_b = jnp.concatenate([cond_latents, cond_latents], axis=0)
-            bn_embeds = brushnet_embeds
-            if guess_mode and do_cfg:
-                bn_embeds = brushnet_embeds[brushnet_embeds.shape[0] // 2:]
-
             latent_in = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
-            if dedup_brushnet:
-                down, mid, up = _tile_residuals(brushnet_apply(
-                    brushnet_params,
-                    latents.astype(self.dtype),
-                    t,
-                    brushnet_embeds[latents.shape[0]:].astype(self.dtype),
-                    cond_latents.astype(self.dtype),
-                    conditioning_scale=cond_scale,
-                ))
-            else:
-                control_in = latents if (guess_mode and do_cfg) else latent_in
-                down, mid, up = brushnet_apply(
-                    brushnet_params,
-                    control_in.astype(self.dtype),
-                    t,
-                    bn_embeds.astype(self.dtype),
-                    cond_latents_b.astype(self.dtype)
-                    if not (guess_mode and do_cfg) else cond_latents.astype(self.dtype),
-                    conditioning_scale=cond_scale,
-                    guess_mode=guess_mode,
-                )
-            if guess_mode and do_cfg:
-                down = [jnp.concatenate([jnp.zeros_like(d), d], axis=0) for d in down]
-                mid = jnp.concatenate([jnp.zeros_like(mid), mid], axis=0)
-                up = [jnp.concatenate([jnp.zeros_like(u), u], axis=0) for u in up]
+            # per-step programs recompute the tiny timestep MLP from t (no
+            # temb table: it would have to be rebuilt per dispatch anyway)
+            down, mid, up = residuals_fn(
+                brushnet_params, latents, latent_in, t, brushnet_embeds,
+                cond_latents, cond_scale,
+            )
             pred = unet_apply(
                 unet_params,
                 latent_in.astype(self.dtype),

@@ -211,12 +211,17 @@ class TestPerStepDispatch:
             a.astype(np.float32), b.astype(np.float32), atol=1.0
         )  # uint8: allow 1 quantization step of fp reassociation noise
 
-    def test_guess_mode_per_step(self, pipe):
+    def test_guess_mode_per_step_matches_scan(self, pipe):
         image, mask, depth = _inputs()
-        out = pipe(prompt="m", image=image, mask=mask, depth=depth,
-                   num_inference_steps=2, guidance_scale=7.5, seed=0,
-                   guess_mode=True, dispatch="per_step")
-        assert out.shape == (1, H, W, 3)
+        kwargs = dict(prompt="m", image=image, mask=mask, depth=depth,
+                      num_inference_steps=2, guidance_scale=7.5, seed=0,
+                      guess_mode=True)
+        a = pipe(dispatch="scan", **kwargs)
+        b = pipe(dispatch="per_step", **kwargs)
+        assert a.shape == (1, H, W, 3)
+        np.testing.assert_allclose(
+            a.astype(np.float32), b.astype(np.float32), atol=1.0
+        )
 
 
 def test_non_square_resolution(pipe):
