@@ -50,7 +50,15 @@ def _decode_image(value, channels: Optional[int] = None) -> np.ndarray:
         from PIL import Image
 
         img = Image.open(io.BytesIO(base64.b64decode(value)))
-        arr = np.asarray(img).astype(np.float32) / 255.0
+        arr = np.asarray(img)
+        if img.mode in ("I", "I;16", "I;16B", "I;16L", "I;16N"):
+            # 16-bit PNG decodes to uint16/int32 with values up to 65535;
+            # dividing by 255 would silently blow the [0,1] contract.
+            arr = arr.astype(np.float32) / 65535.0
+        elif np.issubdtype(arr.dtype, np.integer):
+            arr = arr.astype(np.float32) / float(np.iinfo(arr.dtype).max)
+        else:
+            arr = arr.astype(np.float32)
     else:
         arr = np.asarray(value, np.float32)
     if arr.ndim == 2:

@@ -17,6 +17,8 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from reflecting_reality_tpu.data.rng import ThreadSafeRNG
+
 
 def cache_name(row, index: int) -> str:
     """Stable per-sample cache filename shared by the precompute tool and
@@ -49,7 +51,9 @@ class LatentCachedDataset:
         self.proportion_empty_prompts = proportion_empty_prompts
         self.mirror_prompt = mirror_prompt
         self.caption_column = caption_column
-        self.rng = np.random.RandomState(seed)
+        # per-thread Generators: DataLoader threads call __getitem__
+        # concurrently and numpy RNGs are not thread-safe
+        self.rng = ThreadSafeRNG(seed)
         missing = [
             cache_name(df.iloc[i], i)
             for i in range(min(len(df), 16))

@@ -21,6 +21,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from pathlib import Path
 from typing import Optional
 
@@ -29,6 +30,7 @@ import numpy as np
 _SO_NAME = "_native_transforms.so"
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_load_lock = threading.Lock()
 
 _u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 _f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
@@ -40,18 +42,36 @@ def _build(so_path: Path) -> bool:
     src = Path(__file__).resolve().parents[2] / "native" / "transforms.cpp"
     if not src.exists():
         return False
+    # Compile to a unique temp name and rename into place: rename is atomic
+    # within a directory, so a concurrent builder can never leave a truncated
+    # .so that would then be loaded (and cached as broken) forever.
+    tmp = so_path.with_name(f".{so_path.name}.{os.getpid()}.tmp")
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", str(so_path), str(src)],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", str(tmp), str(src)],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, so_path)
         return so_path.exists()
     except (OSError, subprocess.SubprocessError):
+        try:
+            tmp.unlink(missing_ok=True)
+        except OSError:
+            pass
         return False
 
 
 def load() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native library, or None."""
+    """Load (building if needed) the native library, or None.
+
+    Thread-safe: DataLoader worker threads may race to the first call."""
+    if _tried:
+        return _lib
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _tried:
         return _lib

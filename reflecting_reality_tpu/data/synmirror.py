@@ -30,6 +30,8 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from reflecting_reality_tpu.data.rng import ThreadSafeRNG
+
 try:
     import h5py
 except ImportError:  # pragma: no cover
@@ -264,7 +266,7 @@ class HDF5Dataset:
         self.mirror_prompt = mirror_prompt
         self.caption_column = caption_column
         self.random_flip = random_flip
-        self.rng = np.random.RandomState(seed)
+        self.rng = ThreadSafeRNG(seed)
         self.kwargs = kwargs
 
     def __len__(self):
@@ -344,7 +346,7 @@ class MSDDataset(HDF5Dataset):
         self.mirror_prompt = mirror_prompt
         self.caption_column = caption_column
         self.random_flip = kwargs.pop("random_flip", False)
-        self.rng = np.random.RandomState(kwargs.pop("seed", None))
+        self.rng = ThreadSafeRNG(kwargs.pop("seed", None))
         self.kwargs = kwargs
         self.path_column = path_column
         self.images_dir = self.data_root / "images"

@@ -118,17 +118,24 @@ class MetricsCalculator:
         gt_image = gt_data["image"]
 
         if "obj" in metric_name or "IoU" in metric_name:
-            from reflecting_reality_tpu.metrics.segmentation import segment_image
+            from reflecting_reality_tpu.metrics.segmentation import (
+                EmptyObjectMaskError, segment_image,
+            )
 
             rel_path = gt_data["file_path"].split(".")[0]
             gt_sam_cache = os.path.join(self.data_dir, self.cache_dir, f"{rel_path}.png")
             use_obj = "obj" in metric_name
-            gt_mask, gt_img_seg, gen_mask, gen_img_seg = segment_image(
-                gt_data=gt_data, gen_image=gen_image, segmenter=self._segmenter,
-                cam_pose_map=self._cam_pose_map, gt_sam_cache=gt_sam_cache,
-                use_floor_mask=use_obj, use_gt_mask=use_obj,
-                data_dir=self.data_dir,
-            )
+            try:
+                gt_mask, gt_img_seg, gen_mask, gen_img_seg = segment_image(
+                    gt_data=gt_data, gen_image=gen_image, segmenter=self._segmenter,
+                    cam_pose_map=self._cam_pose_map, gt_sam_cache=gt_sam_cache,
+                    use_floor_mask=use_obj, use_gt_mask=use_obj,
+                    data_dir=self.data_dir,
+                )
+            except EmptyObjectMaskError:
+                # a NaN cell, not an aborted sample: the eval loop's other
+                # metric families stay computable for this uid
+                return float("nan")
             if "IoU" in metric_name:
                 return self.calculate_iou(gen_mask, gt_mask)
             gt_image, gen_image = gt_img_seg, gen_img_seg

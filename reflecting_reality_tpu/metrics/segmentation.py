@@ -24,6 +24,11 @@ try:
 except ImportError:  # pragma: no cover
     Image = None
 
+class EmptyObjectMaskError(ValueError):
+    """Raised when a GT sample's segmap has no object pixels (class 2) —
+    there is no reflection to segment, so obj_*/IoU cells become NaN."""
+
+
 _SAM_URLS = {
     "vit_b": "https://dl.fbaipublicfiles.com/segment_anything/sam_vit_b_01ec64.pth",
     "vit_l": "https://dl.fbaipublicfiles.com/segment_anything/sam_vit_l_0b3195.pth",
@@ -156,7 +161,12 @@ def segment_image(
     gt_masked = _apply_mask(gt_img, mirror_mask)
     gen_masked = _apply_mask(gen_image, mirror_mask)
 
-    x1, y1, x2, y2 = get_bbox_from_mask(object_mask)
+    obj_bbox = get_bbox_from_mask(object_mask)
+    if obj_bbox is None:
+        raise EmptyObjectMaskError(
+            "sample has no object pixels (segmap class 2); obj_*/IoU undefined"
+        )
+    x1, y1, x2, y2 = obj_bbox
     bbox = create_bbox_from_point(point, int((x2 - x1) * ratio_w), int((y2 - y1) * ratio_h))
 
     if gt_sam_cache and os.path.exists(gt_sam_cache):

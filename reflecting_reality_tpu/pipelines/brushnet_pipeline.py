@@ -194,7 +194,8 @@ class StableDiffusionBrushNetPipeline:
         steps in between recompute only the shallow (full-resolution) encoder
         and decoder blocks around the cached trunk.  Approximate — outputs
         differ slightly from the exact path."""
-        assert interval >= 1
+        if interval < 1:
+            raise ValueError("deep_cache interval must be >= 1")
         self._deep_cache = None if interval == 1 else int(interval)
         self._jit_cache.clear()
 
@@ -227,9 +228,10 @@ class StableDiffusionBrushNetPipeline:
         tail).  exact=True uses the psum-GroupNorm + halo-exchange variant
         (bit-parity with the unsharded decode up to fp32 noise); exact=False
         uses the overlapping-tile blend.  See parallel.sharded_vae."""
-        assert self._dp_mesh is None, (
-            "enable_sharded_vae and enable_data_parallel are mutually exclusive"
-        )
+        if self._dp_mesh is not None:
+            raise ValueError(
+                "enable_sharded_vae and enable_data_parallel are mutually exclusive"
+            )
         self._sharded_vae = (mesh, axis_name, exact)
         self._jit_cache.clear()
 
@@ -249,9 +251,10 @@ class StableDiffusionBrushNetPipeline:
         across hosts use parallel.mesh.split_between_processes as before.
         Mutually exclusive with enable_sharded_vae (decode is batch-sharded
         here; the W-sharded decoder is for single-image high-res)."""
-        assert self._sharded_vae is None, (
-            "enable_data_parallel and enable_sharded_vae are mutually exclusive"
-        )
+        if self._sharded_vae is not None:
+            raise ValueError(
+                "enable_data_parallel and enable_sharded_vae are mutually exclusive"
+            )
         import jax as _jax
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -347,7 +350,8 @@ class StableDiffusionBrushNetPipeline:
         between skip conv_in + down blocks + the whole BrushNet and recompute
         only mid + decoder with the current timestep.  A milder approximation
         than DeepCache — the full decoder still runs every step."""
-        assert interval >= 1
+        if interval < 1:
+            raise ValueError("encoder_reuse interval must be >= 1")
         self._encoder_reuse = None if interval == 1 else int(interval)
         self._jit_cache.clear()
 
@@ -470,11 +474,10 @@ class StableDiffusionBrushNetPipeline:
         vae_tiling = self._vae_tiling
         deep_cache = self._deep_cache
         encoder_reuse = self._encoder_reuse
-        assert not (deep_cache and encoder_reuse), (
-            "deep_cache and encoder_reuse are mutually exclusive"
-        )
-        if deep_cache is not None or encoder_reuse is not None:
-            assert not guess_mode, "cached modes + guess_mode unsupported"
+        if deep_cache and encoder_reuse:
+            raise ValueError("deep_cache and encoder_reuse are mutually exclusive")
+        if (deep_cache is not None or encoder_reuse is not None) and guess_mode:
+            raise ValueError("cached modes + guess_mode unsupported")
 
         residuals_fn = self._make_branch_residuals_fn(do_cfg, guess_mode)
 
@@ -660,8 +663,10 @@ class StableDiffusionBrushNetPipeline:
             return self._jit_cache[ckey]
         (b, hl, wl, cl), steps, scheduler_name, do_cfg, guess_mode = key[:5]
         solver_order = key[6] if len(key) > 6 else 2
-        assert self._deep_cache is None, "deep_cache requires dispatch='scan'"
-        assert self._encoder_reuse is None, "encoder_reuse requires dispatch='scan'"
+        if self._deep_cache is not None:
+            raise ValueError("deep_cache requires dispatch='scan'")
+        if self._encoder_reuse is not None:
+            raise ValueError("encoder_reuse requires dispatch='scan'")
 
         if scheduler_name == "unipc":
             sampler = UniPCSampler(self.schedule, steps, solver_order=solver_order)
@@ -781,7 +786,8 @@ class StableDiffusionBrushNetPipeline:
         cond = jnp.concatenate([cond, mask_lat.astype(cond.dtype)], axis=-1)
 
         if self.depth_conditioning_mode is not None:
-            assert depth is not None, "depth_conditioning_mode set but no depth given"
+            if depth is None:
+                raise ValueError("depth_conditioning_mode set but no depth given")
             depth_np = self.image_processor.preprocess(depth, h, w)
             if depth_np.shape[0] == 1 and batch_size > 1:
                 depth_np = np.repeat(depth_np, batch_size, axis=0)
@@ -797,7 +803,9 @@ class StableDiffusionBrushNetPipeline:
 
         brushnet_embeds = prompt_embeds
         if self.normals_conditioning_mode in ("concat", "latents"):
-            assert normals is not None
+            if normals is None:
+                raise ValueError(
+                    "normals_conditioning_mode set but no normals given")
             normals_np = self.image_processor.preprocess(normals, h, w)
             if normals_np.shape[0] == 1 and batch_size > 1:
                 normals_np = np.repeat(normals_np, batch_size, axis=0)
@@ -817,10 +825,11 @@ class StableDiffusionBrushNetPipeline:
             # the reference *pipeline* routes the token through
             # added_cond_kwargs, which the SD-1.5 unet (encoder_hid_proj=None)
             # drops — we wire it the way the checkpoints were trained.
-            assert normals is not None, (
-                "normals_conditioning_mode='ip_adapter' needs the (1, 3) mean "
-                "mirror normal as `normals`"
-            )
+            if normals is None:
+                raise ValueError(
+                    "normals_conditioning_mode='ip_adapter' needs the (1, 3) "
+                    "mean mirror normal as `normals`"
+                )
             from reflecting_reality_tpu.models.ip_adapter import normal_tokens
 
             proj_module, proj_params = self.normal_proj
