@@ -90,7 +90,11 @@ def load_models(args, dtype):
         unet_overrides = dict(ip_num_tokens=DEFAULT_NUM_TOKENS,
                               ip_scale=args.ip_adapter_scale)
     unet_module, unet_params = load_pretrained(
-        UNet2DConditionModel, base, subfolder="unet", dtype=dtype, **unet_overrides
+        UNet2DConditionModel, base, subfolder="unet", dtype=dtype,
+        # base SD checkpoints lack the decoupled ip projections; they are
+        # grafted from to_k/to_v just below
+        allow_missing=("to_k_ip", "to_v_ip") if ip_mode else (),
+        **unet_overrides
     )
     if ip_mode:
         # graft to_k_ip/to_v_ip (initialized from to_k/to_v) into the loaded tree

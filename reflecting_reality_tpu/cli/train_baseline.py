@@ -51,7 +51,7 @@ def main(argv=None):
                                  args.normals_conditioning_mode)
     unet_module, unet_params = load_pretrained(
         UNet2DConditionModel, base, subfolder="unet", dtype=dtype,
-        in_channels=in_ch,
+        in_channels=in_ch, validate=False,  # conv_in width differs pre-inflation
     )
     # inflate conv_in: loaded kernel still has the pretrained input width
     old_in = np.asarray(unet_params["params"]["conv_in"]["kernel"]).shape[2]
@@ -60,6 +60,9 @@ def main(argv=None):
         unet_params = {"params": inflate_conv_in_params(
             unet_params["params"], (3, 3, in_ch, out_ch), preserve=min(old_in, 9)
         )}
+    from reflecting_reality_tpu.core.io import validate_loaded_params
+
+    validate_loaded_params(unet_module, unet_params, where=f"{base}/unet (inflated)")
     vae = load_pretrained(AutoencoderKL, base, subfolder="vae", dtype=dtype)
     text = load_text_encoder(base, dtype=dtype)
     tokenizer = CLIPTokenizer.from_pretrained(base, subfolder="tokenizer")

@@ -126,6 +126,90 @@ def flax_to_torch_state(
     return out
 
 
+class WeightMappingError(ValueError):
+    """A checkpoint's converted keys don't line up with the module's params."""
+
+
+def convert_deprecated_attention_keys(
+    state_dict: Dict[str, np.ndarray],
+) -> Dict[str, np.ndarray]:
+    """Remap old-vintage VAE/UNet attention keys in place and return the dict.
+
+    Early diffusers checkpoints (incl. some runwayml/stable-diffusion-v1-5
+    revisions) name the VAE mid-block attention projections
+    ``query/key/value/proj_attn``; modern layouts use ``to_q/to_k/to_v/
+    to_out.0`` (reference modeling_utils.py:929-971,
+    _convert_deprecated_attention_blocks).  Some very old exports also store
+    these as (C, C, 1, 1) conv kernels — squeeze those to 2D linears.
+    """
+    renames = {"query": "to_q", "key": "to_k", "value": "to_v",
+               "proj_attn": "to_out.0"}
+    for key in list(state_dict):
+        parts = key.rsplit(".", 2)
+        if len(parts) == 3 and parts[1] in renames and parts[2] in ("weight", "bias"):
+            arr = state_dict.pop(key)
+            if parts[2] == "weight" and arr.ndim == 4 and arr.shape[2:] == (1, 1):
+                arr = arr[:, :, 0, 0]
+            state_dict[f"{parts[0]}.{renames[parts[1]]}.{parts[2]}"] = arr
+    return state_dict
+
+
+def _flat_shapes(tree: Mapping[str, Any]) -> Dict[str, tuple]:
+    flat = jax.tree_util.tree_flatten_with_path(dict(tree))[0]
+    return {
+        "/".join(str(getattr(k, "key", k)) for k in path): tuple(leaf.shape)
+        for path, leaf in flat
+    }
+
+
+def validate_loaded_params(module, params: Mapping[str, Any], where: str = "checkpoint",
+                           allow_missing: Iterable[str] = ()) -> None:
+    """Assert the loaded param tree matches the module's own init structure.
+
+    Uses ``module.dummy_inputs()`` + ``jax.eval_shape`` (no FLOPs, no
+    allocation — works at full SD-1.5 scale in seconds) to build the expected
+    key set and shapes, then raises :class:`WeightMappingError` listing every
+    missing key, unexpected key, and shape mismatch.  This is the loud-failure
+    contract for real-checkpoint loads: a silent key mismatch is a quality
+    bug, not a crash (SURVEY.md §7 "silent key mismatches = quality bugs").
+    """
+    dummy = getattr(module, "dummy_inputs", None)
+    if dummy is None:
+        return
+    args, kwargs = dummy()
+    expected = jax.eval_shape(
+        lambda rng: module.init(rng, *args, **kwargs), jax.random.PRNGKey(0)
+    )
+    exp = _flat_shapes(expected.get("params", expected))
+    got = _flat_shapes(params.get("params", params))
+    allow_missing = tuple(allow_missing)
+    missing = sorted(
+        k for k in set(exp) - set(got)
+        # e.g. to_k_ip/to_v_ip: grafted from the base weights after load
+        # (reference train_brushnet_mirror.py:1085-1123)
+        if not any(pat in k for pat in allow_missing)
+    )
+    unexpected = sorted(set(got) - set(exp))
+    mismatched = sorted(
+        f"{k}: checkpoint {got[k]} vs model {exp[k]}"
+        for k in set(exp) & set(got) if exp[k] != got[k]
+    )
+    if missing or unexpected or mismatched:
+        def _fmt(name, items):
+            if not items:
+                return ""
+            shown = "\n    ".join(items[:12])
+            more = f"\n    ... and {len(items) - 12} more" if len(items) > 12 else ""
+            return f"\n  {name} ({len(items)}):\n    {shown}{more}"
+
+        raise WeightMappingError(
+            f"{type(module).__name__} <- {where}: weight mapping mismatch"
+            + _fmt("missing from checkpoint", missing)
+            + _fmt("unexpected in checkpoint", unexpected)
+            + _fmt("shape mismatch", mismatched)
+        )
+
+
 def save_safetensors(state: Mapping[str, np.ndarray], path: str) -> None:
     if _st_save is None:
         raise ImportError("safetensors is required")
@@ -146,8 +230,16 @@ def save_pretrained(module, params, save_directory: str) -> None:
     save_safetensors(state, os.path.join(save_directory, WEIGHTS_NAME))
 
 
-def load_pretrained(cls, pretrained_path: str, subfolder: str | None = None, **overrides):
-    """Load (module, params) from a reference-layout checkpoint folder."""
+def load_pretrained(cls, pretrained_path: str, subfolder: str | None = None,
+                    validate: bool = True, allow_missing: Iterable[str] = (),
+                    **overrides):
+    """Load (module, params) from a reference-layout checkpoint folder.
+
+    ``validate=True`` (default) checks the converted tree key-for-key and
+    shape-for-shape against the module's init structure and raises
+    :class:`WeightMappingError` on any mismatch — real-checkpoint loads fail
+    loudly instead of silently producing degraded outputs.
+    """
     root = os.path.join(pretrained_path, subfolder) if subfolder else pretrained_path
     config = cls.load_config(root)
     module = cls.from_config(config, **overrides)
@@ -159,8 +251,11 @@ def load_pretrained(cls, pretrained_path: str, subfolder: str | None = None, **o
             break
     if weights is None:
         raise FileNotFoundError(f"no safetensors weights under {root}")
-    params = torch_to_flax_params(weights)
-    return module, {"params": params}
+    params = torch_to_flax_params(convert_deprecated_attention_keys(weights))
+    out = {"params": params}
+    if validate:
+        validate_loaded_params(module, out, where=root, allow_missing=allow_missing)
+    return module, out
 
 
 def cast_floating(tree, dtype):

@@ -98,6 +98,9 @@ class CLIPTextModel(nn.Module, ConfigMixin):
             name="text_model",
         )(input_ids, output_hidden_states=output_hidden_states)
 
+    def dummy_inputs(self):
+        return (jnp.zeros((1, self.max_position_embeddings), jnp.int32),), {}
+
 
 class CLIPTextModelWithProjection(nn.Module, ConfigMixin):
     """CLIP text tower + text_projection (SDXL's second encoder,
@@ -135,6 +138,9 @@ class CLIPTextModelWithProjection(nn.Module, ConfigMixin):
         if output_hidden_states:
             return last, pooled, hidden_states
         return last, pooled
+
+    def dummy_inputs(self):
+        return (jnp.zeros((1, self.max_position_embeddings), jnp.int32),), {}
 
 
 class _Embeddings(nn.Module):
@@ -240,4 +246,11 @@ def load_text_encoder(base_path: str, subfolder: str = "text_encoder",
             break
     if weights is None:
         raise FileNotFoundError(f"no text encoder weights under {root}")
-    return module, {"params": torch_to_flax_params(weights)}
+    from reflecting_reality_tpu.core.io import validate_loaded_params
+
+    # position_ids is a persistent torch buffer in older transformers
+    # exports, not a parameter
+    weights = {k: v for k, v in weights.items() if not k.endswith("position_ids")}
+    params = {"params": torch_to_flax_params(weights)}
+    validate_loaded_params(module, params, where=root)
+    return module, params

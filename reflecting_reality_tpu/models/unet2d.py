@@ -68,6 +68,25 @@ class UNet2DConditionModel(nn.Module, ConfigMixin):
         h = self.attention_head_dim
         return tuple(h) if isinstance(h, (tuple, list)) else (h,) * len(self.block_out_channels)
 
+    def dummy_inputs(self):
+        """Tiny example (args, kwargs) whose init covers every param —
+        used by core.io.validate_loaded_params via jax.eval_shape."""
+        s = 2 ** len(self.block_out_channels)
+        args = (
+            jnp.zeros((1, s, s, self.in_channels), self.dtype),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, self.cross_attention_dim), self.dtype),
+        )
+        kwargs = {}
+        if self.addition_embed_type == "text_time":
+            text_dim = (self.projection_class_embeddings_input_dim
+                        - 6 * self.addition_time_embed_dim)
+            kwargs["added_cond_kwargs"] = {
+                "text_embeds": jnp.zeros((1, text_dim), self.dtype),
+                "time_ids": jnp.zeros((1, 6), jnp.int32),
+            }
+        return args, kwargs
+
     @nn.compact
     def __call__(
         self,

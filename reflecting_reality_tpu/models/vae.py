@@ -245,3 +245,9 @@ class AutoencoderKL(nn.Module, ConfigMixin):
         posterior = self.encode(x)
         z = posterior.sample(rng)
         return self.decode(z)
+
+    def dummy_inputs(self):
+        """Tiny example (args, kwargs) for core.io.validate_loaded_params."""
+        s = 2 ** len(self.block_out_channels)
+        return (jnp.zeros((1, s, s, self.in_channels), self.dtype),
+                jax.random.PRNGKey(0)), {}
