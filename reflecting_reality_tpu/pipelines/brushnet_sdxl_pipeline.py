@@ -114,8 +114,13 @@ class StableDiffusionXLBrushNetPipeline(StableDiffusionBrushNetPipeline):
     def _get_sampler_fn(self, key):
         if key in self._jit_cache:
             return self._jit_cache[key]
-        (b, hl, wl, cl), steps, scheduler_name, do_cfg, guess_mode = key
-        assert not guess_mode, "guess_mode is handled by the SD-1.5 path only"
+        (b, hl, wl, cl), steps, scheduler_name, do_cfg, guess_mode = key[:5]
+        if guess_mode:
+            raise ValueError("guess_mode is handled by the SD-1.5 path only")
+        deep_cache = self._deep_cache
+        encoder_reuse = self._encoder_reuse
+        if deep_cache and encoder_reuse:
+            raise ValueError("deep_cache and encoder_reuse are mutually exclusive")
 
         if scheduler_name == "unipc":
             sampler = UniPCSampler(self.schedule, steps)
@@ -135,8 +140,12 @@ class StableDiffusionXLBrushNetPipeline(StableDiffusionBrushNetPipeline):
         def run(unet_params, brushnet_params, vae_params, latents, cond,
                 prompt_embeds, added, keep):
             cond_b = jnp.concatenate([cond, cond], 0) if do_cfg else cond
+            # No BrushNet CFG dedup here: SDXL's text_time addition embedding
+            # differs between the CFG halves (pooled embeds), so the conv-only
+            # branch does NOT see identical inputs (cf. SD-1.5 dedup note).
 
-            def model_eval(latents, t, cond_scale):
+            def branch_forward(latents, t, cond_scale):
+                """Full dual branch; returns (pred, deep-cache tuple)."""
                 latent_in = jnp.concatenate([latents, latents], 0) if do_cfg else latents
                 down, mid, up = brushnet_apply(
                     brushnet_params, latent_in.astype(self.dtype), t,
@@ -144,40 +153,125 @@ class StableDiffusionXLBrushNetPipeline(StableDiffusionBrushNetPipeline):
                     conditioning_scale=cond_scale,
                     added_cond_kwargs=added,
                 )
-                pred = unet_apply(
+                out = unet_apply(
                     unet_params, latent_in.astype(self.dtype), t,
                     prompt_embeds.astype(self.dtype),
                     down_block_add_samples=down, mid_block_add_sample=mid,
                     up_block_add_samples=up,
                     added_cond_kwargs=added,
+                    return_deep=deep_cache is not None,
                 )
+                if deep_cache is not None:
+                    pred, deep = out
+                    return pred, (deep, tuple(down), mid, tuple(up))
+                return out, None
+
+            def shallow_forward(latents, t, cache):
+                """DeepCache step: cached trunk + cached residual stacks."""
+                deep, down, mid, up = cache
+                latent_in = jnp.concatenate([latents, latents], 0) if do_cfg else latents
+                pred, _ = unet_apply(
+                    unet_params, latent_in.astype(self.dtype), t,
+                    prompt_embeds.astype(self.dtype),
+                    down_block_add_samples=list(down),
+                    mid_block_add_sample=mid,
+                    up_block_add_samples=list(up),
+                    added_cond_kwargs=added,
+                    cached_deep=deep,
+                )
+                return pred, cache
+
+            def er_full(latents, t, cond_scale):
+                latent_in = jnp.concatenate([latents, latents], 0) if do_cfg else latents
+                down, mid, up = brushnet_apply(
+                    brushnet_params, latent_in.astype(self.dtype), t,
+                    prompt_embeds.astype(self.dtype), cond_b.astype(self.dtype),
+                    conditioning_scale=cond_scale,
+                    added_cond_kwargs=added,
+                )
+                pred, enc = unet_apply(
+                    unet_params, latent_in.astype(self.dtype), t,
+                    prompt_embeds.astype(self.dtype),
+                    down_block_add_samples=down, mid_block_add_sample=mid,
+                    up_block_add_samples=up,
+                    added_cond_kwargs=added,
+                    return_encoder=True,
+                )
+                return pred, (enc, mid, tuple(up))
+
+            def er_reuse(latents, t, cache):
+                enc, mid, up = cache
+                latent_in = jnp.concatenate([latents, latents], 0) if do_cfg else latents
+                pred, _ = unet_apply(
+                    unet_params, latent_in.astype(self.dtype), t,
+                    prompt_embeds.astype(self.dtype),
+                    mid_block_add_sample=mid,
+                    up_block_add_samples=list(up),
+                    added_cond_kwargs=added,
+                    cached_encoder=enc,
+                    return_encoder=True,
+                )
+                return pred, cache
+
+            def model_eval(latents, t, cond_scale, i, cache):
+                if deep_cache is not None:
+                    pred, cache = jax.lax.cond(
+                        i % deep_cache == 0,
+                        lambda lat, tt, cs, c: branch_forward(lat, tt, cs),
+                        lambda lat, tt, cs, c: shallow_forward(lat, tt, c),
+                        latents, t, cond_scale, cache,
+                    )
+                elif encoder_reuse is not None:
+                    pred, cache = jax.lax.cond(
+                        i % encoder_reuse == 0,
+                        lambda lat, tt, cs, c: er_full(lat, tt, cs),
+                        lambda lat, tt, cs, c: er_reuse(lat, tt, c),
+                        latents, t, cond_scale, cache,
+                    )
+                else:
+                    pred, cache = branch_forward(latents, t, cond_scale)
                 if do_cfg:
                     u, c = jnp.split(pred, 2, 0)
                     pred = u + keep["guidance_scale"] * (c - u)
-                return pred
+                return pred, cache
+
+            cache0 = None
+            if deep_cache is not None or encoder_reuse is not None:
+                full_fn = branch_forward if deep_cache is not None else er_full
+                shapes = jax.eval_shape(
+                    lambda lat: full_fn(lat, timesteps[0], keep["cond_scale"][0])[1],
+                    latents,
+                )
+                cache0 = jax.tree_util.tree_map(
+                    lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes
+                )
 
             if scheduler_name == "unipc":
                 state0 = sampler.init_state(latents)
 
                 def body(carry, xs):
-                    lat, st = carry
+                    lat, st, cache = carry
                     i, t, k = xs
-                    lat, st = sampler.step(model_eval(lat, t, k), i, lat, st)
-                    return (lat, st), None
+                    pred, cache = model_eval(lat, t, k, i, cache)
+                    lat, st = sampler.step(pred, i, lat, st)
+                    return (lat, st, cache), None
 
-                (latents, _), _ = jax.lax.scan(
-                    body, (latents, state0),
+                (latents, _, _), _ = jax.lax.scan(
+                    body, (latents, state0, cache0),
                     (jnp.arange(steps), timesteps, keep["cond_scale"]),
                 )
             else:
                 prev = jnp.concatenate([timesteps[1:], jnp.full((1,), -1, jnp.int32)])
 
-                def body(lat, xs):
-                    t, tp, k = xs
-                    return ddim_step(self.schedule, model_eval(lat, t, k), t, tp, lat), None
+                def body(carry, xs):
+                    lat, cache = carry
+                    i, t, tp, k = xs
+                    pred, cache = model_eval(lat, t, k, i, cache)
+                    return (ddim_step(self.schedule, pred, t, tp, lat), cache), None
 
-                latents, _ = jax.lax.scan(
-                    body, latents, (timesteps, prev, keep["cond_scale"])
+                (latents, _), _ = jax.lax.scan(
+                    body, (latents, cache0),
+                    (jnp.arange(steps), timesteps, prev, keep["cond_scale"]),
                 )
 
             # decode honoring the active toggles (sharded > tiled > plain);
@@ -187,23 +281,6 @@ class StableDiffusionXLBrushNetPipeline(StableDiffusionBrushNetPipeline):
         fn = jax.jit(run)
         self._jit_cache[key] = fn
         return fn
-
-    def enable_data_parallel(self, mesh, axis_name: str = "data") -> None:
-        raise NotImplementedError(
-            "data-parallel generation is implemented for the SD-1.5 sampler "
-            "only; the SDXL __call__ does not shard its inputs yet"
-        )
-
-    def enable_deep_cache(self, interval: int = 2) -> None:
-        raise NotImplementedError(
-            "DeepCache is implemented for the SD-1.5 sampler only; the SDXL "
-            "sampler has no cached-trunk path"
-        )
-
-    def enable_encoder_reuse(self, interval: int = 2) -> None:
-        raise NotImplementedError(
-            "encoder reuse is implemented for the SD-1.5 sampler only"
-        )
 
     # ----------------------------------------------------------------- call
 
@@ -219,6 +296,7 @@ class StableDiffusionXLBrushNetPipeline(StableDiffusionBrushNetPipeline):
         num_inference_steps: int = 50,
         guidance_scale: float = 7.5,
         negative_prompt=None,
+        num_images_per_prompt: int = 1,
         seed: Optional[int] = None,
         brushnet_conditioning_scale: float = 1.0,
         control_guidance_start: float = 0.0,
@@ -236,6 +314,14 @@ class StableDiffusionXLBrushNetPipeline(StableDiffusionBrushNetPipeline):
         rng_noise, rng_vae = jax.random.split(rng)
 
         prompt_embeds, pooled = self.encode_prompt_xl(prompt, negative_prompt, do_cfg)
+        if num_images_per_prompt > 1:
+            # repeat WITHIN each CFG half so the [neg..., pos...] layout holds
+            halves = jnp.split(prompt_embeds, 2, 0) if do_cfg else [prompt_embeds]
+            prompt_embeds = jnp.concatenate(
+                [jnp.repeat(h, num_images_per_prompt, axis=0) for h in halves], 0)
+            phalves = jnp.split(pooled, 2, 0) if do_cfg else [pooled]
+            pooled = jnp.concatenate(
+                [jnp.repeat(h, num_images_per_prompt, axis=0) for h in phalves], 0)
 
         from reflecting_reality_tpu.pipelines.image_processor import interpolate_nearest
 
@@ -258,7 +344,9 @@ class StableDiffusionXLBrushNetPipeline(StableDiffusionBrushNetPipeline):
             )
             cond = jnp.concatenate([cond, jnp.asarray(d).astype(cond.dtype)], -1)
 
-        batch = image_np.shape[0]
+        batch = image_np.shape[0] * num_images_per_prompt
+        if num_images_per_prompt > 1:
+            cond = jnp.repeat(cond, num_images_per_prompt, axis=0)
         if latents is None:
             latents = jax.random.normal(rng_noise, (batch, hl, wl, 4), jnp.float32)
 
@@ -282,13 +370,32 @@ class StableDiffusionXLBrushNetPipeline(StableDiffusionBrushNetPipeline):
             ],
             np.float32,
         )
-        key = ((batch, hl, wl, 4), num_inference_steps, scheduler, do_cfg, False)
+        keep_scales = {"cond_scale": jnp.asarray(keeps * brushnet_conditioning_scale),
+                       "guidance_scale": jnp.float32(guidance_scale)}
+        if self._dp_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            mesh, axis = self._dp_mesh
+            n = mesh.devices.size
+            if batch % n:
+                raise ValueError(
+                    f"data-parallel generation needs batch_size ({batch}) "
+                    f"divisible by the mesh size ({n}); use "
+                    "num_images_per_prompt or a prompt list to fill the mesh"
+                )
+            shard_b = NamedSharding(mesh, PartitionSpec(axis))
+            repl = NamedSharding(mesh, PartitionSpec())
+            latents = jax.device_put(latents, shard_b)
+            cond = jax.device_put(cond, shard_b)
+            prompt_embeds = jax.device_put(prompt_embeds, shard_b)
+            added = jax.device_put(added, shard_b)
+            keep_scales = jax.device_put(keep_scales, repl)
+        key = ((batch, hl, wl, 4), num_inference_steps, scheduler, do_cfg, False,
+               self._deep_cache, self._encoder_reuse)
         fn = self._get_sampler_fn(key)
         out = fn(
             self.unet_params, self.brushnet_params, self.vae_params,
-            latents, cond, prompt_embeds, added,
-            {"cond_scale": jnp.asarray(keeps * brushnet_conditioning_scale),
-             "guidance_scale": jnp.float32(guidance_scale)},
+            latents, cond, prompt_embeds, added, keep_scales,
         )
         if output_type == "latent":
             return np.asarray(out)

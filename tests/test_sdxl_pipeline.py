@@ -96,3 +96,84 @@ def test_encode_prompt_xl_shapes(pipe):
     emb, pooled = pipe.encode_prompt_xl("hello world", do_classifier_free_guidance=True)
     assert emb.shape == (2, 77, 24)     # concat(8, 16)
     assert pooled.shape == (2, 16)
+
+
+def _inputs(seed=0):
+    rng = np.random.RandomState(seed)
+    image = rng.rand(H, W, 3).astype(np.float32)
+    mask = np.zeros((H, W, 3), np.float32)
+    mask[16:48, 16:48] = 1.0
+    depth = rng.rand(H, W, 1).astype(np.float32)
+    return image, mask, depth
+
+
+def test_sdxl_num_images_per_prompt(pipe):
+    image, mask, depth = _inputs()
+    out = pipe("a mirror", image, mask, depth=depth, num_inference_steps=2,
+               guidance_scale=5.0, seed=1, num_images_per_prompt=2)
+    assert out.shape == (2, H, W, 3)
+    # different noise per image
+    assert not np.array_equal(out[0], out[1])
+
+
+def test_sdxl_data_parallel_matches_single_device(pipe):
+    """8-way batch-sharded SDXL generation == unsharded generation
+    (the parity closing VERDICT item 7: SD-1.5's DP machinery now covers
+    SDXL's added text_time conditioning)."""
+    from reflecting_reality_tpu.parallel.mesh import make_mesh
+
+    image, mask, depth = _inputs()
+    kwargs = dict(depth=depth, num_inference_steps=2, guidance_scale=5.0,
+                  seed=2, num_images_per_prompt=8)
+    ref = pipe("a mirror", image, mask, **kwargs)
+    mesh = make_mesh(8)
+    pipe.enable_data_parallel(mesh)
+    try:
+        dp = pipe("a mirror", image, mask, **kwargs)
+    finally:
+        pipe.disable_data_parallel()
+    assert dp.shape == (8, H, W, 3)
+    np.testing.assert_allclose(dp.astype(np.int16), ref.astype(np.int16),
+                               atol=1)  # uint8 rounding jitter only
+
+
+class TestSDXLCachedModes:
+    def test_deep_cache_smoke_and_reset(self, pipe):
+        image, mask, depth = _inputs()
+        kwargs = dict(depth=depth, num_inference_steps=4, guidance_scale=5.0, seed=3)
+        ref = pipe("a mirror", image, mask, **kwargs)
+        pipe.enable_deep_cache(2)
+        try:
+            fast = pipe("a mirror", image, mask, **kwargs)
+        finally:
+            pipe.disable_deep_cache()
+        assert fast.shape == ref.shape and np.isfinite(fast).all()
+        assert not np.array_equal(fast, ref)  # approximate mode
+        again = pipe("a mirror", image, mask, **kwargs)
+        np.testing.assert_array_equal(again, ref)  # toggle fully resets
+
+    def test_encoder_reuse_smoke_and_reset(self, pipe):
+        image, mask, depth = _inputs()
+        kwargs = dict(depth=depth, num_inference_steps=4, guidance_scale=5.0, seed=4)
+        ref = pipe("a mirror", image, mask, **kwargs)
+        pipe.enable_encoder_reuse(2)
+        try:
+            fast = pipe("a mirror", image, mask, **kwargs)
+        finally:
+            pipe.disable_encoder_reuse()
+        assert fast.shape == ref.shape and np.isfinite(fast).all()
+        assert not np.array_equal(fast, ref)
+        again = pipe("a mirror", image, mask, **kwargs)
+        np.testing.assert_array_equal(again, ref)
+
+    def test_mutual_exclusion(self, pipe):
+        pipe.enable_deep_cache(2)
+        try:
+            pipe.enable_encoder_reuse(2)
+            image, mask, depth = _inputs()
+            with pytest.raises(ValueError, match="mutually exclusive"):
+                pipe("a mirror", image, mask, depth=depth,
+                     num_inference_steps=2, guidance_scale=5.0)
+        finally:
+            pipe.disable_deep_cache()
+            pipe.disable_encoder_reuse()
