@@ -55,6 +55,60 @@ def make_shard(root: Path, n: int, res: int) -> "object":
     return pd.DataFrame(rows)
 
 
+def _process_worker(root, df_pickle, resolution, stride, offset, seconds,
+                    barrier, q):
+    """One emulated core: iterate the dataset single-threaded over a
+    disjoint slice; report samples processed.  The barrier keeps process
+    spawn/import time out of the measured window."""
+    import pickle
+
+    from reflecting_reality_tpu.data.synmirror import HDF5Dataset
+    from reflecting_reality_tpu.data.tokenizer import HashTokenizer
+
+    ds = HDF5Dataset(root, pickle.loads(df_pickle), HashTokenizer(49408),
+                     resolution=resolution, depth=True, seed=offset)
+    ds[offset]  # warm
+    barrier.wait()
+    n = 0
+    deadline = time.perf_counter() + seconds
+    i = offset
+    while time.perf_counter() < deadline:
+        ds[i % len(ds)]
+        i += stride
+        n += 1
+    q.put(n)
+
+
+def multiprocess_aggregate(root, df, resolution, n_procs, seconds):
+    """Aggregate samples/s over n_procs worker PROCESSES (emulating cores on
+    a 1-vCPU box).  aggregate(N)/aggregate(1) ~ 1.0 on one core proves the
+    per-sample work has no cross-worker serialization (HDF5 file locks,
+    shared caches); on an N-core host the same structure scales to ~N x the
+    single-thread rate because the pixel kernels release the GIL
+    (benchmarks/gil_probe.py)."""
+    import multiprocessing as mp
+    import pickle
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    barrier = ctx.Barrier(n_procs + 1)
+    df_p = pickle.dumps(df)
+    procs = [
+        ctx.Process(target=_process_worker,
+                    args=(str(root), df_p, resolution, n_procs, i, seconds,
+                          barrier, q))
+        for i in range(n_procs)
+    ]
+    for p in procs:
+        p.start()
+    barrier.wait()  # all workers imported + warmed; clock starts now
+    t0 = time.perf_counter()
+    total = sum(q.get() for _ in procs)
+    for p in procs:
+        p.join()
+    return total / (time.perf_counter() - t0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--source_res", type=int, default=512,
@@ -65,6 +119,9 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--seconds", type=float, default=20.0)
+    ap.add_argument("--processes", type=int, default=0,
+                    help="also measure N-process aggregate throughput "
+                         "(cross-worker contention check)")
     args = ap.parse_args()
 
     from reflecting_reality_tpu.data.loader import DataLoader
@@ -112,6 +169,18 @@ def main():
           f"v5e-8 needs {need:.0f} samples/s -> "
           f"{'OK' if sps > need else 'BOTTLENECK'} ({sps / need:.1f}x)",
           flush=True)
+
+    if args.processes:
+        with tempfile.TemporaryDirectory() as tmp:
+            root = Path(tmp)
+            df = make_shard(root, args.n_files, args.source_res)
+            one = multiprocess_aggregate(root, df, args.resolution, 1, args.seconds)
+            many = multiprocess_aggregate(root, df, args.resolution,
+                                          args.processes, args.seconds)
+        print(f"multiprocess contention check: 1 proc {one:.1f} samples/s, "
+              f"{args.processes} procs aggregate {many:.1f} samples/s "
+              f"(ratio {many / one:.2f}; ~1.0 on a 1-core box means no "
+              "cross-worker serialization)", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,57 @@
+"""Loader thread-scaling evidence on a 1-core box (VERDICT round-1 item 8).
+
+Two measurable facts substantiate PROFILE.md's many-core feed-rate claim
+without multi-core hardware:
+
+1. The pixel kernels RELEASE the GIL: a 1 ms-sleeping probe thread's wake
+   latency stays at scheduler granularity while the production ctypes.CDLL
+   path runs, but spikes to the full call duration when the SAME kernel is
+   called through ctypes.PyDLL (GIL held).  benchmarks/gil_probe.py.
+2. Per-sample work has no cross-worker serialization: N worker PROCESSES on
+   one core aggregate to ~the single-process rate (no h5py file-lock or
+   shared-state bottleneck).  benchmarks/benchmark_dataloader.py
+   --processes.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def native_available():
+    from reflecting_reality_tpu.data import native
+
+    if os.environ.get("RR_DISABLE_NATIVE") or native.load() is None:
+        pytest.skip("native transforms unavailable")
+
+
+def test_native_kernels_release_the_gil(native_available):
+    from benchmarks.gil_probe import make_workloads, wake_latency_p95
+
+    released, held, per_call = make_workloads()
+    assert per_call > 0.005, "workload too short to discriminate"
+    p95_released = wake_latency_p95(released, seconds=1.5)
+    p95_held = wake_latency_p95(held, seconds=1.5)
+    # held: probe blocks for ~the whole call; released: scheduler noise only
+    assert p95_held > per_call * 0.7, (p95_held, per_call)
+    assert p95_released < p95_held / 3, (p95_released, p95_held)
+
+
+def test_no_cross_worker_serialization(tmp_path):
+    pytest.importorskip("h5py")
+    from benchmarks.benchmark_dataloader import make_shard, multiprocess_aggregate
+
+    df = make_shard(tmp_path, 16, 128)
+    # best-of-2 each: the suite shares one vCPU with whatever else runs, so
+    # single measurements are noisy; the shared-resource signal is stable
+    one = max(multiprocess_aggregate(tmp_path, df, 128, 1, seconds=2.0)
+              for _ in range(2))
+    two = max(multiprocess_aggregate(tmp_path, df, 128, 2, seconds=2.0)
+              for _ in range(2))
+    # on one core, 2 processes timeshare: aggregate ~= single unless some
+    # shared resource serializes them harder than the CPU does
+    assert two > one * 0.6, (one, two)
