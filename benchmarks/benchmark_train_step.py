@@ -111,6 +111,32 @@ def main():
         np.asarray(jax.tree_util.tree_leaves(state.trainable)[0])
         return state
 
+    # exact per-step FLOPs from XLA's own cost model.
+    # MFU uses MODEL flops (no-remat lowering — lowering never executes, so
+    # it cannot OOM); HFU uses the as-compiled program incl. remat recompute.
+    V5E_PEAK_FLOPS = 197e12
+
+    def _flops_of(fn):
+        try:
+            ca = jax.jit(fn).lower(state, batch, jax.random.PRNGKey(0)
+                                   ).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            return float(ca.get("flops", 0.0)) or None
+        except Exception as e:  # cost model availability varies per backend
+            print(f"cost_analysis unavailable: {e}", flush=True)
+            return None
+
+    hw_flops = _flops_of(step_fn)
+    model_flops = hw_flops
+    if args.remat and hw_flops:
+        no_remat_cfg = TrainConfig(
+            learning_rate=1e-5, depth_conditioning_mode="concat",
+            gradient_checkpointing=False,
+        )
+        nr_step, _ = make_train_step(unet, brushnet, vae, text, no_remat_cfg,
+                                     dtype=dtype)
+        model_flops = _flops_of(nr_step) or hw_flops
+
     n1, n2 = 3, 13
     f1, f2 = chain(n1), chain(n2)
     print("compiling...", flush=True)
@@ -126,6 +152,11 @@ def main():
             + (" remat" if args.remat else "")
             + (f" policy={args.remat_policy}" if args.remat and args.remat_policy != "full" else "")
             + (" cached-latents" if args.cached_latents else ""))
+    if model_flops:
+        mfu = model_flops * sps / V5E_PEAK_FLOPS
+        note += f" flops/step={model_flops:.3e} MFU={mfu:.1%}"
+        if hw_flops and hw_flops != model_flops:
+            note += f" HFU={hw_flops * sps / V5E_PEAK_FLOPS:.1%}"
     print(f"{sps:.2f} train steps/s ({b * sps:.2f} samples/s) — {note}", flush=True)
     with open(args.out, "a", newline="") as f:
         csv.writer(f).writerow(

@@ -649,24 +649,36 @@ class StableDiffusionBrushNetPipeline:
         self._jit_cache[key] = fn
         return fn
 
-    def _get_per_step_fns(self, key):
-        """(sampler, step_fn, decode_fn) for per-step dispatch.
+    def _get_per_step_fns(self, key, chunk: int = 1):
+        """(sampler, chunk_fn_factory, decode_fn) for per-step dispatch.
 
-        One SMALL jitted program per denoise step plus one jitted decode,
-        instead of the single 50-step scan: at 1024² (16384 latent tokens) the
-        scan's XLA compile takes >30 min through the relay, while the
-        single-step program compiles in ~1 min and each dispatch costs only
-        the relay latency.  Reference behavior target: the Python denoise loop
-        at pipeline_brushnet.py:1249-1332.  deep_cache needs the scan path."""
+        SMALL jitted programs instead of the single 50-step scan: at 1024²
+        (16384 latent tokens) the scan's XLA compile takes >30 min through
+        the relay, while a short-segment program compiles in ~1 min.
+        Reference behavior target: the Python denoise loop at
+        pipeline_brushnet.py:1249-1332.  deep_cache needs the scan path.
+
+        `chunk` > 1 runs a k-step lax.scan SEGMENT per dispatch: same exact
+        math as the full scan (the body is identical), but 50/k dispatches
+        instead of 50 — per-dispatch host overhead (param-pytree flatten +
+        call build through the relay) was ~13% of the 1024² warm e2e at
+        chunk=1.  The (latents, state) carry is donated so segments reuse
+        buffers.  A distinct segment length (e.g. a remainder chunk)
+        compiles one more small program, cached per length."""
         ckey = ("per_step",) + key
         if ckey in self._jit_cache:
-            return self._jit_cache[ckey]
+            cached = self._jit_cache[ckey]
+        else:
+            cached = None
         (b, hl, wl, cl), steps, scheduler_name, do_cfg, guess_mode = key[:5]
         solver_order = key[6] if len(key) > 6 else 2
         if self._deep_cache is not None:
             raise ValueError("deep_cache requires dispatch='scan'")
         if self._encoder_reuse is not None:
             raise ValueError("encoder_reuse requires dispatch='scan'")
+
+        if cached is not None:
+            return cached
 
         if scheduler_name == "unipc":
             sampler = UniPCSampler(self.schedule, steps, solver_order=solver_order)
@@ -685,8 +697,8 @@ class StableDiffusionBrushNetPipeline:
         unet_apply = self.unet_module.apply
         residuals_fn = self._make_branch_residuals_fn(do_cfg, guess_mode)
 
-        def step_fn(unet_params, brushnet_params, latents, state,
-                    cond_latents, prompt_embeds, brushnet_embeds, i, keep_scales):
+        def one_step(unet_params, brushnet_params, latents, state,
+                     cond_latents, prompt_embeds, brushnet_embeds, i, keep_scales):
             t = timesteps[i]
             cond_scale = keep_scales["cond_scale"][i]
             latent_in = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
@@ -715,9 +727,43 @@ class StableDiffusionBrushNetPipeline:
                 latents = ddim_step(self.schedule, pred, t, prev_ts[i], latents)
             return latents, state
 
+        segment_cache = {}
+
+        def segment_fn(length: int):
+            """Jitted `length`-step segment, cached per length."""
+            if length in segment_cache:
+                return segment_cache[length]
+
+            def run(unet_params, brushnet_params, latents, state,
+                    cond_latents, prompt_embeds, brushnet_embeds, i0, keep_scales):
+                if length == 1:
+                    return one_step(unet_params, brushnet_params, latents, state,
+                                    cond_latents, prompt_embeds, brushnet_embeds,
+                                    i0, keep_scales)
+
+                def body(carry, i):
+                    lat, st = carry
+                    lat, st = one_step(unet_params, brushnet_params, lat, st,
+                                       cond_latents, prompt_embeds,
+                                       brushnet_embeds, i, keep_scales)
+                    return (lat, st), None
+
+                (latents, state), _ = jax.lax.scan(
+                    body, (latents, state), i0 + jnp.arange(length)
+                )
+                return latents, state
+
+            # donate only the sampler state (internal, single-use between
+            # segments); latents may be a caller-provided array that the
+            # caller reuses (e.g. repeated generations from fixed noise),
+            # and donating it would invalidate their buffer.
+            fn = jax.jit(run, donate_argnums=(3,))
+            segment_cache[length] = fn
+            return fn
+
         decode_fn = self._make_decode_fn()
 
-        fns = (sampler, jax.jit(step_fn), jax.jit(decode_fn))
+        fns = (sampler, segment_fn, jax.jit(decode_fn))
         self._jit_cache[ckey] = fns
         return fns
 
@@ -746,6 +792,7 @@ class StableDiffusionBrushNetPipeline:
         scheduler: str = "unipc",
         solver_order: int = 2,
         dispatch: str = "scan",                 # "scan" | "per_step"
+        per_step_chunk: int = 5,                # steps per dispatch (per_step)
         output_type: str = "np",
         deterministic_vae_encode: bool = False,
     ):
@@ -906,15 +953,19 @@ class StableDiffusionBrushNetPipeline:
             keep_scales = jax.device_put(keep_scales, repl)
         if dispatch == "per_step":
             # per-step dispatch for high-res configs whose scan would take
-            # tens of minutes to compile (see _get_per_step_fns)
-            sampler, step_fn, decode_fn = self._get_per_step_fns(key)
+            # tens of minutes to compile; segments of `per_step_chunk` steps
+            # amortize the per-dispatch host overhead (see _get_per_step_fns)
+            sampler, segment_fn, decode_fn = self._get_per_step_fns(key)
             state = sampler.init_state(latents0) if sampler is not None else None
             lat = latents0
-            for i in range(num_inference_steps):
-                lat, state = step_fn(
+            i = 0
+            while i < num_inference_steps:
+                n = min(per_step_chunk, num_inference_steps - i)
+                lat, state = segment_fn(n)(
                     self.unet_params, self.brushnet_params, lat, state,
                     cond, prompt_embeds, brushnet_embeds, jnp.int32(i), keep_scales,
                 )
+                i += n
             image_out = decode_fn(self.vae_params, lat)
         elif dispatch == "scan":
             fn = self._get_sampler_fn(key)

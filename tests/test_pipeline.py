@@ -179,7 +179,7 @@ class TestIPAdapterPipeline:
 
     def test_requires_normals(self, ip_pipe):
         image, mask, depth = _inputs()
-        with pytest.raises(AssertionError):
+        with pytest.raises(ValueError, match="mean\n?.*mirror normal|ip_adapter"):
             ip_pipe(prompt="m", image=image, mask=mask, depth=depth,
                     num_inference_steps=2, seed=0)
 
