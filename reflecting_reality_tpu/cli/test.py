@@ -122,6 +122,49 @@ def run_inference(args, brushnet_path: str, output_dir: str, test_df) -> None:
         pipe.enable_data_parallel(make_mesh(n))
     os.makedirs(output_dir, exist_ok=True)
 
+    common = dict(
+        height=args.resolution,
+        width=args.resolution,
+        num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.CFG,
+        brushnet_conditioning_scale=args.brushnet_conditioning_scale,
+        output_type="pil",
+    )
+
+    def generate(prompt, validation_image, validation_mask, depth_image, normal_image):
+        if args.batch_seeds:
+            # all seeds in ONE batched call — ~20% better MXU utilization at
+            # batch 4-8 (benchmarks/results.csv denoise_512_bs8). Each batch
+            # row draws independent noise, equivalent to the reference's
+            # 4-random-seeds protocol (not bit-matched to the sequential
+            # per-seed draws).
+            return pipe(
+                prompt, validation_image, validation_mask,
+                depth=depth_image, normals=normal_image,
+                num_images_per_prompt=args.num_images_per_validation,
+                seed=args.seed, **common,
+            )
+        return [
+            pipe(prompt, validation_image, validation_mask,
+                 depth=depth_image, normals=normal_image,
+                 seed=args.seed + k, **common)[0]
+            for k in range(args.num_images_per_validation)
+        ]
+
+    drive_rows(args, test_df, output_dir, generate)
+
+
+def drive_rows(args, test_df, output_dir, generate) -> None:
+    """The reference per-row drive (test_brushnet.py:163-266), shared by the
+    MirrorFusion and SD-inpainting-baseline testers: multi-host work split,
+    HDF5/MSD sample assembly, predicted-geometry sources, skip-existing
+    resume, --blended paste-back, and 2xN grid sheets.  `generate(prompt,
+    image, mask, depth, normals) -> [PIL]` supplies the model."""
+    import h5py
+    from PIL import Image
+
+    os.makedirs(output_dir, exist_ok=True)
+
     summarize = None
     if args.summarizer:
         # long-caption summarization before CLIP (reference test_brushnet.py
@@ -210,33 +253,8 @@ def run_inference(args, brushnet_path: str, output_dir: str, test_df) -> None:
         if os.path.exists(out_path):  # idempotent restart (reference :182-185)
             continue
 
-        common = dict(
-            depth=depth_image,
-            normals=normal_image,
-            height=args.resolution,
-            width=args.resolution,
-            num_inference_steps=args.num_inference_steps,
-            guidance_scale=args.CFG,
-            brushnet_conditioning_scale=args.brushnet_conditioning_scale,
-            output_type="pil",
-        )
-        if args.batch_seeds:
-            # all seeds in ONE batched call — ~20% better MXU utilization at
-            # batch 4-8 (benchmarks/results.csv denoise_512_bs8). Each batch
-            # row draws independent noise, equivalent to the reference's
-            # 4-random-seeds protocol (not bit-matched to the sequential
-            # per-seed draws).
-            outs = pipe(
-                prompt, validation_image, validation_mask,
-                num_images_per_prompt=args.num_images_per_validation,
-                seed=args.seed, **common,
-            )
-        else:
-            outs = [
-                pipe(prompt, validation_image, validation_mask,
-                     seed=args.seed + k, **common)[0]
-                for k in range(args.num_images_per_validation)
-            ]
+        outs = generate(prompt, validation_image, validation_mask,
+                        depth_image, normal_image)
         images = []
         for out in outs:
             if args.blended:

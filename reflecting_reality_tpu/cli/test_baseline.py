@@ -1,31 +1,24 @@
 """SD-inpainting baseline inference driver (reference:
-baseline/sd_inpainting/test_sdinpainting.py — same surface as the BrushNet
-tester but driving the 9(+)channel inpainting UNet pipeline)."""
+baseline/sd_inpainting/test_sdinpainting.py — the same surface as the
+BrushNet tester, driving the 9(+)-channel inpainting UNet pipeline).
+
+Reuses the full shared drive (cli/test.drive_rows): multi-host work split,
+HDF5/MSD sample assembly, predicted depth sources, --blended paste-back,
+skip-existing resume, 2xN grids, and --all_ckpt/--ckpt_modulo sweeps —
+so the baseline flows through the identical metrics protocol downstream."""
 
 from __future__ import annotations
 
 import logging
 import os
 
-import numpy as np
-
-from reflecting_reality_tpu.cli.test import build_parser, image_grid
-from reflecting_reality_tpu.data.synmirror import apply_transforms_depth, extract_data_from_hdf5
-from reflecting_reality_tpu.parallel.mesh import split_between_processes
+from reflecting_reality_tpu.cli.test import build_parser, drive_rows
 
 logger = logging.getLogger(__name__)
 
 
-def main(argv=None):
-    import h5py
+def run_inference(args, unet_path: str, output_dir: str, test_df) -> None:
     import jax.numpy as jnp
-    import pandas as pd
-    from PIL import Image
-
-    parser = build_parser()
-    parser.description = "SD-inpainting baseline inference"
-    args = parser.parse_args(argv)
-    logging.basicConfig(level=logging.INFO)
 
     from reflecting_reality_tpu.baseline.sd_inpainting import SDInpaintingPipeline
     from reflecting_reality_tpu.core.io import load_pretrained
@@ -37,9 +30,6 @@ def main(argv=None):
     dtype = {"fp32": jnp.float32, "fp16": jnp.float32, "bf16": jnp.bfloat16}[
         args.weight_dtype
     ]
-    unet_path = args.brushnet_path  # reuses the flag: checkpoint-N/unet
-    if os.path.isdir(os.path.join(unet_path, "unet")):
-        unet_path = os.path.join(unet_path, "unet")
     unet = load_pretrained(UNet2DConditionModel, unet_path, dtype=dtype)
     vae = load_pretrained(AutoencoderKL, args.base_model_path, subfolder="vae", dtype=dtype)
     text = load_text_encoder(args.base_model_path, dtype=dtype)
@@ -52,41 +42,65 @@ def main(argv=None):
         dtype=dtype,
     )
 
-    test_df = pd.read_csv(os.path.join(args.train_data_dir, args.csv))
-    if args.num_samples:
-        test_df = test_df.sample(args.num_samples, random_state=args.seed)
-    output_dir = args.output_dir or os.path.join(os.path.dirname(unet_path), "inference")
-    os.makedirs(output_dir, exist_ok=True)
-
-    for index in split_between_processes(list(range(len(test_df)))):
-        row = test_df.iloc[index]
-        uid = row["uid"]
-        rel_path = str(row["path"])
-        f_name = os.path.split(rel_path)[1].split(".")[0]
-        out_path = os.path.join(output_dir, f"{uid}_{f_name}.png")
-        if os.path.exists(out_path):
-            continue
-        with h5py.File(os.path.join(args.train_data_dir, rel_path), "r") as f:
-            data = extract_data_from_hdf5(f)
-        depth = None
-        if args.depth_conditioning_mode is not None:
-            depth = apply_transforms_depth(data["depth"], data["mask"],
-                                           resolution=args.resolution)
-        prompt = args.mirror_prompt + str(row[args.caption_column])
-        images = []
-        for k in range(args.num_images_per_validation):
-            out = pipe(
-                prompt,
-                Image.fromarray(data["masked_image"]),
-                Image.fromarray(data["mask"]).convert("RGB"),
-                depth=depth,
+    def generate(prompt, validation_image, validation_mask, depth_image, normal_image):
+        return [
+            pipe(
+                prompt, validation_image, validation_mask,
+                depth=depth_image, normals=normal_image,
                 height=args.resolution, width=args.resolution,
                 num_inference_steps=args.num_inference_steps,
                 guidance_scale=args.CFG, seed=args.seed + k,
                 output_type="pil",
             )[0]
-            images.append(out.convert("RGB"))
-        image_grid(images, args.num_images_per_validation).save(out_path)
+            for k in range(args.num_images_per_validation)
+        ]
+
+    drive_rows(args, test_df, output_dir, generate)
+
+
+def _resolve_unet(path: str) -> str:
+    return os.path.join(path, "unet") if os.path.isdir(os.path.join(path, "unet")) else path
+
+
+def main(argv=None):
+    import pandas as pd
+
+    parser = build_parser()
+    parser.description = "SD-inpainting baseline inference"
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    from reflecting_reality_tpu.core.jit_cache import enable_compilation_cache
+
+    enable_compilation_cache(args.compilation_cache_dir)
+
+    test_df = pd.read_csv(os.path.join(args.train_data_dir, args.csv))
+    if args.infer_list:
+        with open(args.infer_list) as f:
+            infer_list = [x.strip() for x in f.readlines()]
+        test_df = test_df[test_df["path"].isin(infer_list)]
+    if not args.infer_list and args.num_samples:
+        test_df = test_df.sample(args.num_samples, random_state=args.seed)
+
+    root = args.brushnet_path  # reuses the flag (reference --unet_path)
+    if args.all_ckpt:
+        from reflecting_reality_tpu.training.checkpoint import checkpoint_steps
+
+        for step in checkpoint_steps(root):
+            if args.ckpt_modulo and step % args.ckpt_modulo != 0:
+                continue
+            ckpt = os.path.join(root, f"checkpoint-{step}")
+            run_inference(
+                args, _resolve_unet(ckpt),
+                args.output_dir or os.path.join(ckpt, "inference"), test_df,
+            )
+    else:
+        unet_path = _resolve_unet(root)
+        run_inference(
+            args, unet_path,
+            args.output_dir or os.path.join(os.path.dirname(unet_path), "inference"),
+            test_df,
+        )
 
 
 if __name__ == "__main__":

@@ -61,6 +61,77 @@ def test_train_step(baseline_setup):
     assert max(jax.tree_util.tree_leaves(d)) > 0
 
 
+@pytest.mark.integration
+def test_baseline_cli_journey(tmp_path):
+    """The full baseline reproduction path (reference pairing:
+    train_sdinpainting.py -> test_sdinpainting.py -> evaluate_metrics.py):
+    train the 10-channel inpainting UNet, sweep checkpoints with the
+    baseline tester (--all_ckpt through the shared drive), and push the
+    grids through the metrics stack."""
+    import os
+
+    from tests.tiny_checkpoint import make_synmirror_data, make_tiny_sd_checkpoint
+
+    pytest.importorskip("h5py")
+    base = str(tmp_path / "base")
+    data = str(tmp_path / "data")
+    run = str(tmp_path / "run")
+    make_tiny_sd_checkpoint(base)
+    make_synmirror_data(data, n=8, size=64)
+
+    from reflecting_reality_tpu.cli import train_baseline
+
+    train_baseline.main([
+        "--pretrained_model_name_or_path", base,
+        "--train_data_dir", data,
+        "--output_dir", run,
+        "--resolution", "64",
+        "--train_batch_size", "1",
+        "--max_train_steps", "2",
+        "--checkpointing_steps", "2",
+        "--learning_rate", "1e-4",
+        "--lr_warmup_steps", "0",
+        "--depth_conditioning_mode", "concat",
+        "--report_to", "none",
+        "--seed", "0",
+    ])
+    assert os.path.isdir(os.path.join(run, "checkpoint-2", "unet"))
+
+    from reflecting_reality_tpu.cli import test_baseline
+
+    test_baseline.main([
+        "--brushnet_path", run,           # root; --all_ckpt sweeps checkpoint-N
+        "--all_ckpt",
+        "--base_model_path", base,
+        "--train_data_dir", data,
+        "--resolution", "64",
+        "--num_inference_steps", "2",
+        "--num_images_per_validation", "4",
+        "--depth_conditioning_mode", "concat",
+        "--seed", "0",
+    ])
+    infer = os.path.join(run, "checkpoint-2", "inference")
+    sheets = sorted(f for f in os.listdir(infer) if f.endswith(".png"))
+    assert sheets == [f"uid{i}_{i}.png" for i in range(8)]
+    from PIL import Image
+
+    assert Image.open(os.path.join(infer, sheets[0])).size == (128, 128)
+
+    # metrics flow over the baseline grids (PSNR/SSIM only: fast, torch-free)
+    from reflecting_reality_tpu.metrics import evaluate as eval_cli
+
+    eval_cli.main([
+        "--train_data_dir", data, "--csv", "test.csv",
+        "--infer_dir", infer, "--resolution", "64",
+        "--num_images_per_validation", "4",
+        "--mode", "calc", "--metrics", "PSNR", "SSIM",
+    ])
+    import pandas as pd
+
+    df = pd.read_csv(os.path.join(infer, "eval_0.csv"))
+    assert len(df) == 8 and df["PSNR"].notna().all() and df["SSIM"].notna().all()
+
+
 def test_pipeline_smoke(baseline_setup):
     unet, uparams, vae, vparams, text, tparams = baseline_setup
     from reflecting_reality_tpu.data.tokenizer import HashTokenizer
