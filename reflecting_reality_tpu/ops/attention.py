@@ -54,7 +54,14 @@ def dot_product_attention(
     #   T=  256 D=160: flash 0.023 ms vs XLA 0.004 ms        -> XLA wins
     # Below 2048 tokens the head-dim padding (80/160 -> 128/256 lanes) and
     # kernel launch overhead dominate, so the T >= 2048 threshold stands.
-    if backend == "flash" and q.shape[1] >= 2048 and q.shape[1] == k.shape[1] and q.shape[1] % 8 == 0:
+    # Head dims > 256 (the VAE mid-block's single dim-512 head) stay on the
+    # einsum path: there is no 128-lane padding waste to recover at d=512,
+    # the logits tensor is modest (bh is 1·B for the VAE), and the flash
+    # kernel's f32 lse side-output (bh, T, 128) at batch >= 8 gets
+    # stack-allocated in VMEM by XLA and blows the 16 MB scoped budget
+    # (seen as a Mosaic compile error in the bs=8 training sweep).
+    if (backend == "flash" and q.shape[1] >= 2048 and q.shape[1] == k.shape[1]
+            and q.shape[1] % 8 == 0 and q.shape[-1] <= 256):
         from reflecting_reality_tpu.ops.pallas.flash_attention import flash_attention
 
         return flash_attention(q, k, v)

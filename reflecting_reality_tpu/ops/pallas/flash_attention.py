@@ -51,6 +51,21 @@ def _pick_block(t: int, limit: int) -> int:
     raise ValueError(f"no valid block size for sequence length {t}")
 
 
+def _vmem_limit(limit: int, dp: int) -> int:
+    """Scale the block-size limit down for wide heads so the kernel's VMEM
+    working set stays inside the ~16 MB scoped budget.
+
+    The footprint grows ~linearly in dp (q/k/v/o/acc blocks) plus the
+    (bq, bk) f32 logits tile; 1024x1024 blocks were tuned for dp=128 (SD
+    head dims pad to 128) and overflow VMEM by ~2% at dp=512 — the VAE
+    encoder/decoder mid-block attention (single head, dim = C = 512) at
+    batch 8 hits exactly that (seen as a Mosaic scoped-vmem compile error
+    in the bs=8 training sweep)."""
+    if dp <= 128:
+        return limit
+    return max(256, limit * 128 // dp)
+
+
 def _pad_head_dim(x: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
     d = x.shape[-1]
     dp = max(128, ((d + 127) // 128) * 128)
@@ -107,8 +122,8 @@ def _flash_fwd(q3, k3, v3, scale, block_q, block_k):
     """q3/k3/v3: (BH, T, Dp) with Dp % 128 == 0.  Returns (out, lse)."""
     bh, tq, dp = q3.shape
     tk = k3.shape[1]
-    bq = _pick_block(tq, block_q)
-    bk = _pick_block(tk, block_k)
+    bq = _pick_block(tq, _vmem_limit(block_q, dp))
+    bk = _pick_block(tk, _vmem_limit(block_k, dp))
     nq, nk = tq // bq, tk // bk
 
     grid = (bh, nq, nk)
@@ -209,8 +224,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 def _flash_bwd(q3, k3, v3, out, lse, do, scale, block_q, block_k):
     bh, tq, dp = q3.shape
     tk = k3.shape[1]
-    bq = _pick_block(tq, block_q)
-    bk = _pick_block(tk, block_k)
+    bq = _pick_block(tq, _vmem_limit(block_q, dp))
+    bk = _pick_block(tk, _vmem_limit(block_k, dp))
     nq, nk = tq // bq, tk // bk
 
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)

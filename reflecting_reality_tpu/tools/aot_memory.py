@@ -153,19 +153,33 @@ def main(argv=None):
     p.add_argument("--policy", choices=["dots", "full"], default="dots")
     p.add_argument("--train_base_unet", action="store_true")
     p.add_argument("--no_ema", action="store_true")
+    p.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
+                   help="cpu: virtual n-device mesh — validates the SHARDED "
+                        "program structure, but CPU buffer assignment "
+                        "OVERSTATES TPU memory (no TPU scheduling/remat "
+                        "accounting).  tpu: compile the per-chip program on "
+                        "the real chip (n_devices=1 mesh) — authoritative "
+                        "HBM numbers; under pure DP the per-chip program of "
+                        "the n-way job is identical up to a negligible "
+                        "grad-psum buffer.")
     args = p.parse_args(argv)
 
     import os
 
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={args.n_devices}"
-        ).strip()
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform == "cpu":
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.n_devices}"
+            ).strip()
+        jax.config.update("jax_platforms", "cpu")
+        n = args.n_devices
+    else:
+        n = 1  # per-chip program on the real chip
 
-    stats = analyze(args.n_devices, args.batch_per_chip, args.resolution,
+    stats = analyze(n, args.batch_per_chip, args.resolution,
                     args.policy, args.train_base_unet, not args.no_ema)
+    stats["platform"] = args.platform
     print(json.dumps(stats))
 
 
