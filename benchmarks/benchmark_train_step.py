@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--cached_latents", action="store_true",
                     help="feed precomputed VAE moments (tools/precompute_latents.py "
                          "path) instead of pixels — skips both in-step encodes")
+    ap.add_argument("--frozen_fp32", action="store_true",
+                    help="keep FROZEN params (unet/vae/text) in fp32 storage; "
+                         "default stores them bf16 per the reference "
+                         "mixed-precision policy (train_brushnet_mirror.py:"
+                         "1125-1167) — frees ~2.5 GB, the bs=2 -> bs=4 margin")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "results.csv"))
     args = ap.parse_args()
 
@@ -68,6 +73,12 @@ def main():
         gradient_checkpointing_policy=args.remat_policy,
     )
     step_fn, init_state = make_train_step(unet, brushnet, vae, text, config, dtype=dtype)
+    if not args.frozen_fp32:
+        from reflecting_reality_tpu.core.io import cast_floating
+
+        uparams = cast_floating(uparams, jnp.bfloat16)   # frozen base unet
+        vparams = cast_floating(vparams, jnp.bfloat16)
+        tparams = cast_floating(tparams, jnp.bfloat16)
     state = init_state(bparams, uparams, vparams, tparams)
 
     b = args.batch
@@ -149,6 +160,7 @@ def main():
         best = min(best, (t2 - t1) / (n2 - n1))
     sps = 1.0 / best
     note = (f"train step bs={b} frozen-unet depth-concat"
+            + ("" if args.frozen_fp32 else " frozen-bf16")
             + (" remat" if args.remat else "")
             + (f" policy={args.remat_policy}" if args.remat and args.remat_policy != "full" else "")
             + (" cached-latents" if args.cached_latents else ""))
