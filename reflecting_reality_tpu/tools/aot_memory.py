@@ -38,7 +38,8 @@ def _sds(tree, sharding):
 
 def analyze(n_devices: int = 8, batch_per_chip: int = 2, resolution: int = 512,
             policy: str = "dots", train_base_unet: bool = False,
-            use_ema: bool = True, compute_dtype=jnp.bfloat16, tiny: bool = False):
+            use_ema: bool = True, compute_dtype=jnp.bfloat16, tiny: bool = False,
+            frozen_bf16: bool = True):
     """Compile the sharded train step at full shape; return stats dict.
 
     tiny=True swaps in the dryrun-sized models (plumbing smoke test only)."""
@@ -96,12 +97,19 @@ def analyze(n_devices: int = 8, batch_per_chip: int = 2, resolution: int = 512,
     t_sd = jax.eval_shape(
         lambda r: text.init(r, jnp.zeros((1, 77), jnp.int32)), rng)
 
-    as_f32 = lambda sd: jax.tree_util.tree_map(  # noqa: E731
-        lambda s: jax.ShapeDtypeStruct(
-            s.shape, jnp.float32 if jnp.issubdtype(s.dtype, jnp.floating) else s.dtype),
-        sd)
+    def as_dtype(sd, dt):
+        return jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(
+                s.shape, dt if jnp.issubdtype(s.dtype, jnp.floating) else s.dtype),
+            sd)
+
+    # trainables are fp32 master weights; frozen modules follow the
+    # reference mixed-precision policy (bf16 storage) unless frozen_bf16=False
+    frozen_dt = jnp.bfloat16 if frozen_bf16 else jnp.float32
+    u_dt = jnp.float32 if train_base_unet else frozen_dt
     state_sd = jax.eval_shape(
-        init_state, as_f32(b_sd), as_f32(u_sd), as_f32(v_sd), as_f32(t_sd))
+        init_state, as_dtype(b_sd, jnp.float32), as_dtype(u_sd, u_dt),
+        as_dtype(v_sd, frozen_dt), as_dtype(t_sd, frozen_dt))
 
     mesh = make_mesh(n_devices)
     repl, bsh = replicated(mesh), batch_sharding(mesh)
@@ -131,6 +139,7 @@ def analyze(n_devices: int = 8, batch_per_chip: int = 2, resolution: int = 512,
         "remat_policy": policy,
         "train_base_unet": train_base_unet,
         "use_ema": use_ema,
+        "frozen_bf16": frozen_bf16,
         "argument_gib_per_device": round(ma.argument_size_in_bytes / gib, 3),
         "temp_gib_per_device": round(ma.temp_size_in_bytes / gib, 3),
         "output_gib_per_device": round(ma.output_size_in_bytes / gib, 3),
@@ -153,6 +162,9 @@ def main(argv=None):
     p.add_argument("--policy", choices=["dots", "full"], default="dots")
     p.add_argument("--train_base_unet", action="store_true")
     p.add_argument("--no_ema", action="store_true")
+    p.add_argument("--frozen_fp32", action="store_true",
+                   help="keep frozen modules in fp32 storage (default bf16, "
+                        "the reference mixed-precision policy)")
     p.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
                    help="cpu: virtual n-device mesh — validates the SHARDED "
                         "program structure, but CPU buffer assignment "
@@ -178,7 +190,8 @@ def main(argv=None):
         n = 1  # per-chip program on the real chip
 
     stats = analyze(n, args.batch_per_chip, args.resolution,
-                    args.policy, args.train_base_unet, not args.no_ema)
+                    args.policy, args.train_base_unet, not args.no_ema,
+                    frozen_bf16=not args.frozen_fp32)
     stats["platform"] = args.platform
     print(json.dumps(stats))
 

@@ -46,12 +46,16 @@ def test_no_cross_worker_serialization(tmp_path):
     from benchmarks.benchmark_dataloader import make_shard, multiprocess_aggregate
 
     df = make_shard(tmp_path, 16, 128)
-    # best-of-2 each: the suite shares one vCPU with whatever else runs, so
-    # single measurements are noisy; the shared-resource signal is stable
-    one = max(multiprocess_aggregate(tmp_path, df, 128, 1, seconds=2.0)
-              for _ in range(2))
-    two = max(multiprocess_aggregate(tmp_path, df, 128, 2, seconds=2.0)
-              for _ in range(2))
-    # on one core, 2 processes timeshare: aggregate ~= single unless some
-    # shared resource serializes them harder than the CPU does
-    assert two > one * 0.6, (one, two)
+    # The box shares one vCPU with concurrently running TPU-relay jobs, so a
+    # single (one, two) pair can land in wildly different load windows.  A
+    # REAL shared-resource serialization (h5py lock, shared cache) would
+    # depress the 2-proc aggregate in EVERY window; transient external load
+    # clears.  Re-measure adjacent pairs until one clean window appears.
+    last = None
+    for _ in range(4):
+        one = multiprocess_aggregate(tmp_path, df, 128, 1, seconds=2.0)
+        two = multiprocess_aggregate(tmp_path, df, 128, 2, seconds=2.0)
+        last = (one, two)
+        if two > one * 0.6:
+            return
+    raise AssertionError(f"2-proc aggregate persistently below 1-proc: {last}")
