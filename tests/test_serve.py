@@ -138,3 +138,33 @@ def test_generate_missing_field_400(served):
 def test_unknown_path_404(served):
     status, body = _post(served + "/nope", {})
     assert status == 404
+
+
+def test_decode_image_bit_depths():
+    """PNG decode honors the actual bit depth: 16-bit PNGs decode to [0,1]
+    by /65535, uint8 by /255 (a 16-bit depth map used to come out ~257x
+    too hot — advisor finding, round 1)."""
+    import base64
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from reflecting_reality_tpu.cli.serve import _decode_image
+
+    def b64_of(img):
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    a16 = np.linspace(0, 65535, 32 * 32).reshape(32, 32).astype(np.uint16)
+    out16 = _decode_image(b64_of(Image.fromarray(a16)), channels=1)
+    assert out16.min() == 0.0 and abs(out16.max() - 1.0) < 1e-4
+
+    a8 = np.full((8, 8), 255, np.uint8)
+    out8 = _decode_image(b64_of(Image.fromarray(a8)), channels=1)
+    assert abs(out8.max() - 1.0) < 1e-6
+
+    # float arrays pass through untouched
+    arr = np.linspace(-1, 1, 64).reshape(8, 8).astype(np.float32)
+    np.testing.assert_array_equal(_decode_image(arr.tolist(), channels=1)[..., 0], arr)
