@@ -236,6 +236,7 @@ def main(argv=None):
         gradient_checkpointing_policy=args.gradient_checkpointing_policy,
         train_base_unet=args.train_base_unet,
         use_ema=args.use_ema,
+        ema_dtype=args.ema_dtype,
         depth_conditioning_mode=args.depth_conditioning_mode,
         normals_conditioning_mode=args.normals_conditioning_mode,
     )
@@ -530,6 +531,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mixed_precision", type=str, default="no",
                    choices=["no", "fp16", "bf16"])
     p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--ema_dtype", type=str, default="fp32",
+                   choices=["fp32", "bf16"],
+                   help="EMA shadow-weight storage; bf16 halves the copy "
+                        "(fits bs=4+EMA on a 16 GB v5e)")
     p.add_argument("--set_grads_to_none", action="store_true",
                    help="accepted for reference-CLI compatibility; a no-op "
                         "here (optax has no grad buffers to zero)")

@@ -39,7 +39,7 @@ def _sds(tree, sharding):
 def analyze(n_devices: int = 8, batch_per_chip: int = 2, resolution: int = 512,
             policy: str = "dots", train_base_unet: bool = False,
             use_ema: bool = True, compute_dtype=jnp.bfloat16, tiny: bool = False,
-            frozen_bf16: bool = True):
+            frozen_bf16: bool = True, ema_dtype: str = "fp32"):
     """Compile the sharded train step at full shape; return stats dict.
 
     tiny=True swaps in the dryrun-sized models (plumbing smoke test only)."""
@@ -72,6 +72,7 @@ def analyze(n_devices: int = 8, batch_per_chip: int = 2, resolution: int = 512,
     config = TrainConfig(
         train_base_unet=train_base_unet,
         use_ema=use_ema,
+        ema_dtype=ema_dtype,
         gradient_checkpointing=True,
         gradient_checkpointing_policy=policy,
         snr_gamma=None,
@@ -139,6 +140,7 @@ def analyze(n_devices: int = 8, batch_per_chip: int = 2, resolution: int = 512,
         "remat_policy": policy,
         "train_base_unet": train_base_unet,
         "use_ema": use_ema,
+        "ema_dtype": ema_dtype,
         "frozen_bf16": frozen_bf16,
         "argument_gib_per_device": round(ma.argument_size_in_bytes / gib, 3),
         "temp_gib_per_device": round(ma.temp_size_in_bytes / gib, 3),
@@ -165,6 +167,7 @@ def main(argv=None):
     p.add_argument("--frozen_fp32", action="store_true",
                    help="keep frozen modules in fp32 storage (default bf16, "
                         "the reference mixed-precision policy)")
+    p.add_argument("--ema_dtype", choices=["fp32", "bf16"], default="fp32")
     p.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
                    help="cpu: virtual n-device mesh — validates the SHARDED "
                         "program structure, but CPU buffer assignment "
@@ -191,7 +194,7 @@ def main(argv=None):
 
     stats = analyze(n, args.batch_per_chip, args.resolution,
                     args.policy, args.train_base_unet, not args.no_ema,
-                    frozen_bf16=not args.frozen_fp32)
+                    frozen_bf16=not args.frozen_fp32, ema_dtype=args.ema_dtype)
     stats["platform"] = args.platform
     print(json.dumps(stats))
 

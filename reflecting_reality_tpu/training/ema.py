@@ -16,6 +16,10 @@ import jax.numpy as jnp
 
 def ema_update(ema_params, params, step, decay: float = 0.9999):
     d = jnp.minimum(decay, (1.0 + step) / (10.0 + step))
+    # accumulate in fp32, store back in the shadow copy's dtype (fp32 by
+    # default; bf16 when TrainConfig.ema_dtype="bf16" halves the copy)
     return jax.tree_util.tree_map(
-        lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d), ema_params, params
+        lambda e, p: (e.astype(jnp.float32) * d
+                      + p.astype(jnp.float32) * (1.0 - d)).astype(e.dtype),
+        ema_params, params,
     )

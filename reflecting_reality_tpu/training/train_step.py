@@ -70,6 +70,12 @@ class TrainConfig:
     train_base_unet: bool = False
     use_ema: bool = False
     ema_decay: float = 0.9999
+    # EMA shadow-weight storage dtype.  fp32 matches the reference EMAModel;
+    # "bf16" halves the shadow copy (~0.7 GB at SD-1.5 scale — the measured
+    # 12 MB margin that keeps bs=4+EMA from fitting a 16 GB v5e).  bf16 EMA
+    # is standard practice for diffusion fine-tunes: the averaged weights
+    # move slowly, so bf16's 8 mantissa bits dominate the step-to-step delta.
+    ema_dtype: str = "fp32"
     depth_conditioning_mode: Optional[str] = "concat"
     normals_conditioning_mode: Optional[str] = None
     scaling_factor: float = 0.18215
@@ -228,7 +234,10 @@ def make_train_step(unet, brushnet, vae, text_encoder, config: TrainConfig,
             trainable=trainable,
             frozen=frozen,
             opt_state=tx.init(trainable),
-            ema=jax.tree_util.tree_map(jnp.asarray, trainable) if config.use_ema else None,
+            ema=(jax.tree_util.tree_map(
+                lambda p: jnp.asarray(
+                    p, jnp.bfloat16 if config.ema_dtype == "bf16" else None),
+                trainable) if config.use_ema else None),
         )
 
     def grad_mask(trainable):

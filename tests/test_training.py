@@ -121,6 +121,27 @@ class TestTrainStep:
             np.asarray(e), np.asarray(p0 * 0.1 + p1 * 0.9), rtol=1e-5, atol=1e-7
         )
 
+    def test_ema_bf16_storage(self):
+        """ema_dtype='bf16' keeps the shadow copy bf16 across updates (fp32
+        accumulate, bf16 store — the 16 GB-chip memory knob)."""
+        step_fn, state = build(use_ema=True, ema_dtype="bf16")
+        assert all(
+            leaf.dtype == jnp.bfloat16
+            for leaf in jax.tree_util.tree_leaves(state.ema)
+        )
+        s1, m = jax.jit(step_fn)(state, batch_of(2), jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["loss"]))
+        assert all(
+            leaf.dtype == jnp.bfloat16
+            for leaf in jax.tree_util.tree_leaves(s1.ema)
+        )
+        e = np.asarray(
+            s1.ema["brushnet"]["params"]["conv_in_condition"]["kernel"],
+            np.float32)
+        p0 = np.asarray(state.trainable["brushnet"]["params"]["conv_in_condition"]["kernel"])
+        p1 = np.asarray(s1.trainable["brushnet"]["params"]["conv_in_condition"]["kernel"])
+        np.testing.assert_allclose(e, p0 * 0.1 + p1 * 0.9, rtol=1e-2, atol=1e-3)
+
 
 class TestDataParallel:
     def test_mesh_step_matches_single_device(self, default_run):
