@@ -280,4 +280,5 @@ class SDInpaintingPipeline:
         )
         if output_type == "latent":
             return np.asarray(out)
+        out = b._to_uint8(out)  # device-side uint8: 4x fewer fetched bytes
         return b.image_processor.postprocess(np.asarray(out), output_type=output_type)

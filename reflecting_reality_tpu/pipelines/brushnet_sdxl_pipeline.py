@@ -399,4 +399,5 @@ class StableDiffusionXLBrushNetPipeline(StableDiffusionBrushNetPipeline):
         )
         if output_type == "latent":
             return np.asarray(out)
+        out = self._to_uint8(out)  # device-side uint8: 4x fewer fetched bytes
         return self.image_processor.postprocess(np.asarray(out), output_type=output_type)
