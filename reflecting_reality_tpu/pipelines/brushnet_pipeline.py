@@ -828,7 +828,18 @@ class StableDiffusionBrushNetPipeline:
             (lambda p, x, r: self._encode_mode(p, x))
             if deterministic_vae_encode else self._encode_sample
         )
-        cond = enc(self.vae_params, jnp.asarray(image_np), rng_vae)
+        # Host->device transfer dtype: when the pipeline computes in bf16,
+        # the encoder casts its input to bf16 on arrival anyway, so shipping
+        # bf16 halves the bytes through the relay (~0.5 s for the three
+        # full-res conditioning inputs at 1024²) with BIT-IDENTICAL results.
+        # fp32 pipelines (golden parity) keep fp32 transfers.
+        if self.dtype == jnp.bfloat16:
+            import ml_dtypes
+
+            _wire = lambda a: np.asarray(a, ml_dtypes.bfloat16)  # noqa: E731
+        else:
+            _wire = lambda a: a  # noqa: E731
+        cond = enc(self.vae_params, jnp.asarray(_wire(image_np)), rng_vae)
         mask_lat = jnp.asarray(interpolate_nearest(mask_np, hl, wl))
         cond = jnp.concatenate([cond, mask_lat.astype(cond.dtype)], axis=-1)
 
@@ -843,7 +854,7 @@ class StableDiffusionBrushNetPipeline:
                 cond = jnp.concatenate([cond, jnp.asarray(d).astype(cond.dtype)], axis=-1)
             elif self.depth_conditioning_mode == "latents":
                 d3 = np.repeat(depth_np[..., :1], 3, axis=-1)
-                dlat = enc(self.vae_params, jnp.asarray(d3), rng_dep)
+                dlat = enc(self.vae_params, jnp.asarray(_wire(d3)), rng_dep)
                 cond = jnp.concatenate([cond, dlat.astype(cond.dtype)], axis=-1)
             else:
                 raise ValueError(self.depth_conditioning_mode)
@@ -860,7 +871,7 @@ class StableDiffusionBrushNetPipeline:
                 n = interpolate_nearest(normals_np, hl, wl)
                 cond = jnp.concatenate([cond, jnp.asarray(n).astype(cond.dtype)], axis=-1)
             else:
-                nlat = enc(self.vae_params, jnp.asarray(normals_np), rng_nrm)
+                nlat = enc(self.vae_params, jnp.asarray(_wire(normals_np)), rng_nrm)
                 cond = jnp.concatenate([cond, nlat.astype(cond.dtype)], axis=-1)
         elif self.normals_conditioning_mode == "ip_adapter":
             # normals = the (1, 3) unit mean-mirror-normal from the dataset's
