@@ -7,17 +7,23 @@ the per-device HBM the program would need: argument bytes (params + opt
 state + batch) and temp bytes (activations + workspace under the chosen
 remat policy).
 
-This substantiates docs/SCALING.md's claim that the reference training
-recipe (bs 2/chip at 512², frozen base UNet, AdamW + EMA — reference
-slurm/train.sh:23-41) fits a 16 GB v5e chip, using only the virtual CPU
-mesh (the driver's dryrun environment; memory analysis is
-backend-portable).
+This substantiates docs/SCALING.md's HBM-budget table for the reference
+training recipe (bs 2/chip at 512², frozen base UNet, AdamW + EMA —
+reference slurm/train.sh:23-41).  Two platforms:
+
+- `--platform tpu` (authoritative): compile the per-chip program on the
+  real chip; under pure DP the n-way job's per-chip program is identical
+  up to a negligible grad-psum buffer.  A compile-time "Ran out of memory
+  in memory space hbm: used X of 15.75G" error is itself the measurement.
+- `--platform cpu` (default; the driver's dryrun environment): validates
+  the SHARDED program structure on a virtual n-device mesh, but CPU buffer
+  assignment has no TPU scheduling/remat accounting and OVERSTATES memory
+  ~2x — do not quote its numbers as HBM budgets.
 
 Usage:
-    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
-      python -m reflecting_reality_tpu.tools.aot_memory \\
+    python -m reflecting_reality_tpu.tools.aot_memory --platform tpu \\
         [--batch_per_chip 2] [--resolution 512] [--policy dots|full] \\
-        [--train_base_unet] [--no_ema]
+        [--train_base_unet] [--no_ema] [--ema_dtype bf16] [--frozen_fp32]
 """
 
 from __future__ import annotations
