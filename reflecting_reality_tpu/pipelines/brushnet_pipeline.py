@@ -656,7 +656,9 @@ class StableDiffusionBrushNetPipeline:
         (16384 latent tokens) the scan's XLA compile takes >30 min through
         the relay, while a short-segment program compiles in ~1 min.
         Reference behavior target: the Python denoise loop at
-        pipeline_brushnet.py:1249-1332.  deep_cache needs the scan path.
+        pipeline_brushnet.py:1249-1332.  DeepCache / encoder-reuse are
+        supported: the cache pytree is carried (and donated) between
+        segments, with the same full-step lax.cond as the scan path.
 
         `chunk` > 1 runs a k-step lax.scan SEGMENT per dispatch: same exact
         math as the full scan (the body is identical), but 50/k dispatches
@@ -667,18 +669,15 @@ class StableDiffusionBrushNetPipeline:
         compiles one more small program, cached per length."""
         ckey = ("per_step",) + key
         if ckey in self._jit_cache:
-            cached = self._jit_cache[ckey]
-        else:
-            cached = None
+            return self._jit_cache[ckey]
         (b, hl, wl, cl), steps, scheduler_name, do_cfg, guess_mode = key[:5]
         solver_order = key[6] if len(key) > 6 else 2
-        if self._deep_cache is not None:
-            raise ValueError("deep_cache requires dispatch='scan'")
-        if self._encoder_reuse is not None:
-            raise ValueError("encoder_reuse requires dispatch='scan'")
-
-        if cached is not None:
-            return cached
+        deep_cache = self._deep_cache
+        encoder_reuse = self._encoder_reuse
+        if deep_cache and encoder_reuse:
+            raise ValueError("deep_cache and encoder_reuse are mutually exclusive")
+        if (deep_cache is not None or encoder_reuse is not None) and guess_mode:
+            raise ValueError("cached modes + guess_mode unsupported")
 
         if scheduler_name == "unipc":
             sampler = UniPCSampler(self.schedule, steps, solver_order=solver_order)
@@ -697,18 +696,19 @@ class StableDiffusionBrushNetPipeline:
         unet_apply = self.unet_module.apply
         residuals_fn = self._make_branch_residuals_fn(do_cfg, guess_mode)
 
-        def one_step(unet_params, brushnet_params, latents, state,
-                     cond_latents, prompt_embeds, brushnet_embeds, i, keep_scales):
-            t = timesteps[i]
-            cond_scale = keep_scales["cond_scale"][i]
+        # per-step programs recompute the tiny timestep MLP from t (no temb
+        # table: it would have to be rebuilt per dispatch anyway)
+
+        def branch_forward(unet_params, brushnet_params, latents, t,
+                           cond_latents, prompt_embeds, brushnet_embeds,
+                           cond_scale):
+            """Full dual branch; (pred, cache-or-None)."""
             latent_in = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
-            # per-step programs recompute the tiny timestep MLP from t (no
-            # temb table: it would have to be rebuilt per dispatch anyway)
             down, mid, up = residuals_fn(
                 brushnet_params, latents, latent_in, t, brushnet_embeds,
                 cond_latents, cond_scale,
             )
-            pred = unet_apply(
+            out = unet_apply(
                 unet_params,
                 latent_in.astype(self.dtype),
                 t,
@@ -716,7 +716,61 @@ class StableDiffusionBrushNetPipeline:
                 down_block_add_samples=down,
                 mid_block_add_sample=mid,
                 up_block_add_samples=up,
+                return_deep=deep_cache is not None,
+                return_encoder=encoder_reuse is not None,
             )
+            if deep_cache is not None:
+                pred, deep = out
+                return pred, (deep, tuple(down), mid, tuple(up))
+            if encoder_reuse is not None:
+                pred, enc = out
+                return pred, (enc, mid, tuple(up))
+            return out, None
+
+        def cached_forward(unet_params, latents, t, prompt_embeds, cache):
+            latent_in = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
+            if deep_cache is not None:
+                deep, down, mid, up = cache
+                pred, _ = unet_apply(
+                    unet_params, latent_in.astype(self.dtype), t,
+                    prompt_embeds.astype(self.dtype),
+                    down_block_add_samples=list(down),
+                    mid_block_add_sample=mid,
+                    up_block_add_samples=list(up),
+                    cached_deep=deep,
+                )
+            else:
+                enc, mid, up = cache
+                pred, _ = unet_apply(
+                    unet_params, latent_in.astype(self.dtype), t,
+                    prompt_embeds.astype(self.dtype),
+                    mid_block_add_sample=mid,
+                    up_block_add_samples=list(up),
+                    cached_encoder=enc,
+                    return_encoder=True,
+                )
+            return pred, cache
+
+        def one_step(unet_params, brushnet_params, latents, state, cache,
+                     cond_latents, prompt_embeds, brushnet_embeds, i, keep_scales):
+            t = timesteps[i]
+            cond_scale = keep_scales["cond_scale"][i]
+            interval = deep_cache or encoder_reuse
+            if interval is not None:
+                pred, cache = jax.lax.cond(
+                    i % interval == 0,
+                    lambda lat, tt, cs, c: branch_forward(
+                        unet_params, brushnet_params, lat, tt, cond_latents,
+                        prompt_embeds, brushnet_embeds, cs),
+                    lambda lat, tt, cs, c: cached_forward(
+                        unet_params, lat, tt, prompt_embeds, c),
+                    latents, t, cond_scale, cache,
+                )
+            else:
+                pred, cache = branch_forward(
+                    unet_params, brushnet_params, latents, t, cond_latents,
+                    prompt_embeds, brushnet_embeds, cond_scale,
+                )
             if do_cfg:
                 uncond, text = jnp.split(pred, 2, axis=0)
                 pred = uncond + keep_scales["guidance_scale"] * (text - uncond)
@@ -725,45 +779,62 @@ class StableDiffusionBrushNetPipeline:
                 latents, state = sampler.step(pred, i, latents, state)
             else:
                 latents = ddim_step(self.schedule, pred, t, prev_ts[i], latents)
-            return latents, state
+            return latents, state, cache
+
+        def make_cache0(latents, cond_latents, prompt_embeds, brushnet_embeds,
+                        keep_scales):
+            """Zero cache pytree for segment 0 (step 0 is always a full step)."""
+            if deep_cache is None and encoder_reuse is None:
+                return None
+            shapes = jax.eval_shape(
+                lambda lat: branch_forward(
+                    self.unet_params, self.brushnet_params, lat, timesteps[0],
+                    cond_latents, prompt_embeds, brushnet_embeds,
+                    keep_scales["cond_scale"][0])[1],
+                latents,
+            )
+            return jax.tree_util.tree_map(
+                lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes
+            )
 
         segment_cache = {}
 
         def segment_fn(length: int):
-            """Jitted `length`-step segment, cached per length."""
+            """Jitted `length`-step segment, cached per length.  Carries
+            (latents, state, cache); cache is None outside cached modes."""
             if length in segment_cache:
                 return segment_cache[length]
 
-            def run(unet_params, brushnet_params, latents, state,
+            def run(unet_params, brushnet_params, latents, state, cache,
                     cond_latents, prompt_embeds, brushnet_embeds, i0, keep_scales):
                 if length == 1:
-                    return one_step(unet_params, brushnet_params, latents, state,
-                                    cond_latents, prompt_embeds, brushnet_embeds,
-                                    i0, keep_scales)
+                    return one_step(unet_params, brushnet_params, latents,
+                                    state, cache, cond_latents, prompt_embeds,
+                                    brushnet_embeds, i0, keep_scales)
 
                 def body(carry, i):
-                    lat, st = carry
-                    lat, st = one_step(unet_params, brushnet_params, lat, st,
-                                       cond_latents, prompt_embeds,
-                                       brushnet_embeds, i, keep_scales)
-                    return (lat, st), None
+                    lat, st, c = carry
+                    lat, st, c = one_step(unet_params, brushnet_params, lat,
+                                          st, c, cond_latents, prompt_embeds,
+                                          brushnet_embeds, i, keep_scales)
+                    return (lat, st, c), None
 
-                (latents, state), _ = jax.lax.scan(
-                    body, (latents, state), i0 + jnp.arange(length)
+                (latents, state, cache), _ = jax.lax.scan(
+                    body, (latents, state, cache), i0 + jnp.arange(length)
                 )
-                return latents, state
+                return latents, state, cache
 
-            # donate only the sampler state (internal, single-use between
-            # segments); latents may be a caller-provided array that the
-            # caller reuses (e.g. repeated generations from fixed noise),
+            # donate only the sampler state and cache (internal, single-use
+            # between segments); latents may be a caller-provided array that
+            # the caller reuses (e.g. repeated generations from fixed noise),
             # and donating it would invalidate their buffer.
-            fn = jax.jit(run, donate_argnums=(3,))
+            fn = jax.jit(run, donate_argnums=(3, 4))
             segment_cache[length] = fn
             return fn
 
         decode_fn = self._make_decode_fn()
 
-        fns = (sampler, segment_fn, jax.jit(decode_fn))
+        fns = (sampler, segment_fn, jax.jit(decode_fn), make_cache0)
         self._jit_cache[ckey] = fns
         return fns
 
@@ -966,14 +1037,16 @@ class StableDiffusionBrushNetPipeline:
             # per-step dispatch for high-res configs whose scan would take
             # tens of minutes to compile; segments of `per_step_chunk` steps
             # amortize the per-dispatch host overhead (see _get_per_step_fns)
-            sampler, segment_fn, decode_fn = self._get_per_step_fns(key)
+            sampler, segment_fn, decode_fn, make_cache0 = self._get_per_step_fns(key)
             state = sampler.init_state(latents0) if sampler is not None else None
+            cache = make_cache0(latents0, cond, prompt_embeds, brushnet_embeds,
+                                keep_scales)
             lat = latents0
             i = 0
             while i < num_inference_steps:
                 n = min(per_step_chunk, num_inference_steps - i)
-                lat, state = segment_fn(n)(
-                    self.unet_params, self.brushnet_params, lat, state,
+                lat, state, cache = segment_fn(n)(
+                    self.unet_params, self.brushnet_params, lat, state, cache,
                     cond, prompt_embeds, brushnet_embeds, jnp.int32(i), keep_scales,
                 )
                 i += n

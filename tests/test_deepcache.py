@@ -136,3 +136,41 @@ class TestEncoderReuse:
         pipe.disable_encoder_reuse()
         again = pipe(**kwargs)
         np.testing.assert_array_equal(again, ref)
+
+
+def _tiny_pipe_and_inputs():
+    import tests.test_pipeline as tp
+
+    pipe = tp.pipe.__wrapped__()
+    image, mask, depth = tp._inputs()
+    inputs = dict(prompt="m", image=image, mask=mask, depth=depth,
+                  num_inference_steps=4, guidance_scale=7.5, seed=0)
+    return pipe, inputs
+
+
+class TestCachedModesPerStepDispatch:
+    """Cached modes now work under dispatch='per_step' (chunked segments):
+    the cache pytree is carried between segment dispatches, and the result
+    is bit-identical to the scan path (same lax.cond body)."""
+
+    def test_deep_cache_per_step_matches_scan(self):
+        pipe, inputs = _tiny_pipe_and_inputs()
+        pipe.enable_deep_cache(2)
+        try:
+            a = pipe(dispatch="scan", **inputs)
+            b = pipe(dispatch="per_step", per_step_chunk=3, **inputs)
+            c = pipe(dispatch="per_step", per_step_chunk=1, **inputs)
+        finally:
+            pipe.disable_deep_cache()
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, c)
+
+    def test_encoder_reuse_per_step_matches_scan(self):
+        pipe, inputs = _tiny_pipe_and_inputs()
+        pipe.enable_encoder_reuse(2)
+        try:
+            a = pipe(dispatch="scan", **inputs)
+            b = pipe(dispatch="per_step", per_step_chunk=2, **inputs)
+        finally:
+            pipe.disable_encoder_reuse()
+        np.testing.assert_array_equal(a, b)
