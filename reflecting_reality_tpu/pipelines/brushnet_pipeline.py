@@ -649,8 +649,8 @@ class StableDiffusionBrushNetPipeline:
         self._jit_cache[key] = fn
         return fn
 
-    def _get_per_step_fns(self, key, chunk: int = 1):
-        """(sampler, chunk_fn_factory, decode_fn) for per-step dispatch.
+    def _get_per_step_fns(self, key):
+        """(sampler, segment_fn, decode_fn, make_cache0) for per-step dispatch.
 
         SMALL jitted programs instead of the single 50-step scan: at 1024²
         (16384 latent tokens) the scan's XLA compile takes >30 min through
@@ -660,7 +660,7 @@ class StableDiffusionBrushNetPipeline:
         supported: the cache pytree is carried (and donated) between
         segments, with the same full-step lax.cond as the scan path.
 
-        `chunk` > 1 runs a k-step lax.scan SEGMENT per dispatch: same exact
+        `per_step_chunk` > 1 runs a k-step lax.scan SEGMENT per dispatch: same exact
         math as the full scan (the body is identical), but 50/k dispatches
         instead of 50 — per-dispatch host overhead (param-pytree flatten +
         call build through the relay) was ~13% of the 1024² warm e2e at
