@@ -752,24 +752,24 @@ class StableDiffusionBrushNetPipeline:
             return pred, cache
 
         def one_step(unet_params, brushnet_params, latents, state, cache,
-                     cond_latents, prompt_embeds, brushnet_embeds, i, keep_scales):
+                     cond_latents, prompt_embeds, brushnet_embeds, i, keep_scales,
+                     static_full=None):
+            """One denoise step.  static_full: None = exact (no cached mode);
+            True/False = statically-known full/cached step (segments are
+            interval-aligned, so the pattern unrolls with no lax.cond — the
+            cond variant forced the 28-residual cache to materialize as
+            branch outputs every step, costing more than the skipped
+            compute; see benchmarks/PROFILE.md)."""
             t = timesteps[i]
             cond_scale = keep_scales["cond_scale"][i]
-            interval = deep_cache or encoder_reuse
-            if interval is not None:
-                pred, cache = jax.lax.cond(
-                    i % interval == 0,
-                    lambda lat, tt, cs, c: branch_forward(
-                        unet_params, brushnet_params, lat, tt, cond_latents,
-                        prompt_embeds, brushnet_embeds, cs),
-                    lambda lat, tt, cs, c: cached_forward(
-                        unet_params, lat, tt, prompt_embeds, c),
-                    latents, t, cond_scale, cache,
-                )
-            else:
+            if static_full is None or static_full:
                 pred, cache = branch_forward(
                     unet_params, brushnet_params, latents, t, cond_latents,
                     prompt_embeds, brushnet_embeds, cond_scale,
+                )
+            else:
+                pred, cache = cached_forward(
+                    unet_params, latents, t, prompt_embeds, cache,
                 )
             if do_cfg:
                 uncond, text = jnp.split(pred, 2, axis=0)
@@ -805,8 +805,21 @@ class StableDiffusionBrushNetPipeline:
             if length in segment_cache:
                 return segment_cache[length]
 
+            interval = deep_cache or encoder_reuse
+
             def run(unet_params, brushnet_params, latents, state, cache,
                     cond_latents, prompt_embeds, brushnet_embeds, i0, keep_scales):
+                if interval is not None:
+                    # interval-aligned segments (enforced in __call__): the
+                    # full/cached pattern is static -> unroll, no lax.cond
+                    for j in range(length):
+                        latents, state, cache = one_step(
+                            unet_params, brushnet_params, latents, state,
+                            cache, cond_latents, prompt_embeds,
+                            brushnet_embeds, i0 + j, keep_scales,
+                            static_full=(j % interval == 0),
+                        )
+                    return latents, state, cache
                 if length == 1:
                     return one_step(unet_params, brushnet_params, latents,
                                     state, cache, cond_latents, prompt_embeds,
@@ -1041,6 +1054,12 @@ class StableDiffusionBrushNetPipeline:
             state = sampler.init_state(latents0) if sampler is not None else None
             cache = make_cache0(latents0, cond, prompt_embeds, brushnet_embeds,
                                 keep_scales)
+            interval = self._deep_cache or self._encoder_reuse
+            if interval is not None:
+                # align segment starts to the cache interval so the
+                # full/cached step pattern inside each segment is static
+                per_step_chunk = max(interval,
+                                     per_step_chunk - per_step_chunk % interval)
             lat = latents0
             i = 0
             while i < num_inference_steps:

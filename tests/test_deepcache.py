@@ -149,9 +149,13 @@ def _tiny_pipe_and_inputs():
 
 
 class TestCachedModesPerStepDispatch:
-    """Cached modes now work under dispatch='per_step' (chunked segments):
-    the cache pytree is carried between segment dispatches, and the result
-    is bit-identical to the scan path (same lax.cond body)."""
+    """Cached modes work under dispatch='per_step': segments are
+    interval-aligned so the full/cached pattern unrolls statically (no
+    lax.cond — the cond variant materialized the residual cache as branch
+    outputs each step and was measurably slower).  The unrolled program
+    fuses differently from the scan's cond body, so parity is to uint8
+    rounding (+-1 level), same tolerance as the data-parallel tests; the
+    same-chunk determinism is exact."""
 
     def test_deep_cache_per_step_matches_scan(self):
         pipe, inputs = _tiny_pipe_and_inputs()
@@ -160,10 +164,12 @@ class TestCachedModesPerStepDispatch:
             a = pipe(dispatch="scan", **inputs)
             b = pipe(dispatch="per_step", per_step_chunk=3, **inputs)
             c = pipe(dispatch="per_step", per_step_chunk=1, **inputs)
+            b2 = pipe(dispatch="per_step", per_step_chunk=3, **inputs)
         finally:
             pipe.disable_deep_cache()
-        np.testing.assert_array_equal(a, b)
-        np.testing.assert_array_equal(a, c)
+        np.testing.assert_allclose(b.astype(np.int16), a.astype(np.int16), atol=1)
+        np.testing.assert_allclose(c.astype(np.int16), a.astype(np.int16), atol=1)
+        np.testing.assert_array_equal(b, b2)  # deterministic
 
     def test_encoder_reuse_per_step_matches_scan(self):
         pipe, inputs = _tiny_pipe_and_inputs()
@@ -173,4 +179,4 @@ class TestCachedModesPerStepDispatch:
             b = pipe(dispatch="per_step", per_step_chunk=2, **inputs)
         finally:
             pipe.disable_encoder_reuse()
-        np.testing.assert_array_equal(a, b)
+        np.testing.assert_allclose(b.astype(np.int16), a.astype(np.int16), atol=1)
