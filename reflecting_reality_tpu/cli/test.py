@@ -120,6 +120,10 @@ def run_inference(args, brushnet_path: str, output_dir: str, test_df) -> None:
                 f"the local device count ({n})"
             )
         pipe.enable_data_parallel(make_mesh(n))
+    if args.int8:
+        # W8A8 quantized serving (ops/quant.py): ~1.44x the exact denoise
+        # rate on v5e; approximation mode — do not use for parity evals
+        pipe.enable_int8()
     os.makedirs(output_dir, exist_ok=True)
 
     common = dict(
@@ -324,6 +328,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the batched-seeds generation over all local "
                         "chips (one jitted SPMD program; needs --batch_seeds "
                         "and seeds %% n_devices == 0)")
+    p.add_argument("--int8", action="store_true",
+                   help="W8A8 quantized serving (ops/quant.py): ~1.44x the "
+                        "exact denoise rate on v5e; approximation mode")
     p.add_argument("--batch_seeds", action="store_true",
                    help="generate all seeds in one batched pipeline call "
                         "(~20%% faster per image at batch 4-8; independent "

@@ -31,6 +31,7 @@ from typing import List, Optional, Sequence, Tuple, Union
 import jax
 import jax.numpy as jnp
 import numpy as np
+import flax.linen as nn
 
 from reflecting_reality_tpu.pipelines.image_processor import ImageProcessor, interpolate_nearest
 from reflecting_reality_tpu.schedulers.common import (
@@ -101,6 +102,7 @@ class StableDiffusionBrushNetPipeline:
         self._encoder_reuse = None  # interval when enabled (Faster Diffusion)
         self._sharded_vae = None  # (mesh, axis_name, exact) when enabled
         self._dp_mesh = None  # (mesh, axis_name) when enabled
+        self._int8 = False  # W8A8 quantized serving mode (ops/quant.py)
 
     @classmethod
     def from_pretrained(
@@ -222,6 +224,48 @@ class StableDiffusionBrushNetPipeline:
             proj, pparams = self.normal_proj
             self.normal_proj = (proj, cast_floating(pparams, d))
         self._jit_cache.clear()
+
+    def enable_int8(self, select=None) -> None:
+        """W8A8 int8 quantized serving (ops/quant.py): UNet + BrushNet conv
+        and dense kernels become per-output-channel int8 (weights quantized
+        once, here), activations are quantized per-tensor on the fly, and the
+        MXU accumulates in int32 at 2x the bf16 rate.  Timestep-conditioning
+        MLPs, the VAE, and the text encoder stay exact.  An *approximation*
+        mode like enable_deep_cache (the exact path is untouched); composes
+        with the cached modes and data-parallel generation.
+
+        One-way for this pipeline instance: the float kernels are replaced
+        (reload or build a new pipeline to go back to exact).
+
+        `select` overrides the kernel-selection policy
+        (ops.quant.default_select) — mainly for tiny-config tests."""
+        from reflecting_reality_tpu.ops.quant import default_select, quantize_params
+
+        sel = select or default_select
+        self.unet_params, nu = quantize_params(self.unet_params, sel)
+        self.brushnet_params, nb = quantize_params(self.brushnet_params, sel)
+        if nu == 0 and nb == 0:
+            raise ValueError("no kernels selected for int8 quantization")
+        self._int8 = True
+        self._jit_cache.clear()
+
+    def _trace_ctx(self, fn):
+        """Wrap `fn` so tracing happens with the int8 interceptor active when
+        quantized serving is enabled (no-op otherwise — and a no-op on any
+        module whose params were not quantized, e.g. the VAE)."""
+        if not self._int8:
+            return fn
+
+        import functools as _functools
+
+        from reflecting_reality_tpu.ops.quant import int8_interceptor
+
+        @_functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            with nn.intercept_methods(int8_interceptor):
+                return fn(*args, **kwargs)
+
+        return wrapped
 
     def enable_sharded_vae(self, mesh, axis_name: str = "data", exact: bool = True) -> None:
         """Decode the final latents across a device mesh (W-sharded decoder
@@ -645,7 +689,7 @@ class StableDiffusionBrushNetPipeline:
             return decode_latents(vae_params, latents)
 
         decode_latents = self._make_decode_fn()
-        fn = jax.jit(denoise_and_decode)
+        fn = jax.jit(self._trace_ctx(denoise_and_decode))
         self._jit_cache[key] = fn
         return fn
 
@@ -841,7 +885,7 @@ class StableDiffusionBrushNetPipeline:
             # between segments); latents may be a caller-provided array that
             # the caller reuses (e.g. repeated generations from fixed noise),
             # and donating it would invalidate their buffer.
-            fn = jax.jit(run, donate_argnums=(3, 4))
+            fn = jax.jit(self._trace_ctx(run), donate_argnums=(3, 4))
             segment_cache[length] = fn
             return fn
 

@@ -174,6 +174,67 @@ class TestCLIJourney:
         ])
         assert len(os.listdir(infer_out)) == 2
 
+    def test_int8_inference_flag(self, env, tmp_path, monkeypatch):
+        """--int8 wires pipe.enable_int8() into the inference driver: make a
+        brushnet checkpoint via the from_unet surgery (no training), run the
+        driver quantized, and check sheets land on disk.  The tiny config's
+        kernels are below the production selection threshold, so the policy
+        is widened for the test (the production policy itself is pinned in
+        tests/test_quant.py)."""
+        import jax
+        import numpy as np
+
+        base, data = env
+        from reflecting_reality_tpu.core.io import load_pretrained, save_pretrained
+        from reflecting_reality_tpu.models import UNet2DConditionModel
+        from reflecting_reality_tpu.models.brushnet import (
+            BrushNetModel,
+            init_params_from_unet,
+        )
+
+        unet_module, unet_params = load_pretrained(
+            UNet2DConditionModel, base, subfolder="unet"
+        )
+        cfg = BrushNetModel.config_from_unet(unet_module, conditioning_channels=6)
+        brushnet = BrushNetModel.from_config(cfg)
+        bparams = brushnet.init(
+            jax.random.PRNGKey(0),
+            np.zeros((1, 8, 8, 4), np.float32),
+            np.zeros((1,), np.int32),
+            np.zeros((1, 77, unet_module.cross_attention_dim), np.float32),
+            np.zeros((1, 8, 8, 6), np.float32),
+        )
+        bparams = init_params_from_unet(
+            jax.device_get(bparams)["params"], unet_params["params"]
+        )
+        ckpt = str(tmp_path / "ckpt" / "brushnet")
+        save_pretrained(brushnet, bparams, ckpt)
+
+        import reflecting_reality_tpu.ops.quant as quant
+
+        monkeypatch.setattr(
+            quant, "default_select",
+            lambda k: hasattr(k, "ndim") and k.ndim in (2, 4),
+        )
+
+        from reflecting_reality_tpu.cli import test as test_cli
+
+        infer_out = str(tmp_path / "infer_int8")
+        test_cli.main([
+            "--brushnet_path", ckpt,
+            "--base_model_path", base,
+            "--train_data_dir", data,
+            "--output_dir", infer_out,
+            "--resolution", "64",
+            "--num_inference_steps", "2",
+            "--num_images_per_validation", "1",
+            "--depth_conditioning_mode", "concat",
+            "--num_samples", "2",
+            "--seed", "0",
+            "--int8",
+        ])
+        assert len(os.listdir(infer_out)) == 2
+
 
 @pytest.mark.integration
 def test_nonfinite_loss_guard(tmp_path):
