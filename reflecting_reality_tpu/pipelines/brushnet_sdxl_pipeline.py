@@ -278,7 +278,9 @@ class StableDiffusionXLBrushNetPipeline(StableDiffusionBrushNetPipeline):
             # same dispatch as the SD-1.5 path (base _make_decode_fn)
             return decode_fn(vae_params, latents)
 
-        fn = jax.jit(run)
+        # _trace_ctx: no-op unless enable_int8 quantized the unet/brushnet
+        # trees (base-class W8A8 serving mode works unchanged for SDXL)
+        fn = jax.jit(self._trace_ctx(run))
         self._jit_cache[key] = fn
         return fn
 

@@ -20,6 +20,10 @@ H = W = 64
 
 @pytest.fixture(scope="module")
 def pipe():
+    return _build_pipe()
+
+
+def _build_pipe():
     # SDXL structure in miniature: 3 blocks, per-block transformer depths,
     # text_time micro-conditioning; cross dim = 8 + 16 = 24.
     cross = 24
@@ -177,3 +181,21 @@ class TestSDXLCachedModes:
         finally:
             pipe.disable_deep_cache()
             pipe.disable_encoder_reuse()
+
+
+def test_sdxl_int8_close_to_exact(pipe):
+    """enable_int8 (base-class W8A8 serving mode) covers SDXL: the sampler
+    jit traces under the interceptor, outputs stay deterministic and close
+    to the exact path.  Fresh pipe: quantization is one-way per instance."""
+    image, mask, depth = _inputs()
+    kwargs = dict(depth=depth, num_inference_steps=2, guidance_scale=5.0, seed=5)
+    exact = pipe("a mirror", image, mask, **kwargs)
+
+    qpipe = _build_pipe()
+    qpipe.enable_int8(select=lambda k: hasattr(k, "ndim") and k.ndim in (2, 4))
+    q1 = qpipe("a mirror", image, mask, **kwargs)
+    q2 = qpipe("a mirror", image, mask, **kwargs)
+    np.testing.assert_array_equal(q1, q2)
+    assert q1.shape == exact.shape and q1.dtype == np.uint8
+    mad = np.abs(q1.astype(int) - exact.astype(int)).mean()
+    assert mad < 16.0, mad
