@@ -7,9 +7,10 @@ reports the latent-space deviation of the full 50-step trajectory so the
 speedup row comes with a quality number (random weights; the deviation on
 trained weights is pinned separately by tests/test_quant.py at tiny scale).
 
-Usage: python benchmarks/benchmark_int8_e2e.py
+Usage: python benchmarks/benchmark_int8_e2e.py [--batch N]
 """
 
+import argparse
 import os
 import sys
 
@@ -27,10 +28,13 @@ from reflecting_reality_tpu.ops.quant import int8_interceptor, quantize_params
 def main():
     from reflecting_reality_tpu.ops.attention import set_attention_backend
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1)
+    batch = ap.parse_args().batch
+
     set_attention_backend("flash")
     unet, uparams, brushnet, bparams = bench.build()
 
-    batch = 1
     latents = jax.random.normal(jax.random.PRNGKey(2), (batch, 64, 64, 4), jnp.float32)
     cond = jax.random.normal(jax.random.PRNGKey(3), (batch, 64, 64, 6), jnp.float32)
     embeds = jax.random.normal(jax.random.PRNGKey(4), (2 * batch, 77, 768), jnp.float32)

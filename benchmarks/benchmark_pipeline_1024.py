@@ -33,6 +33,8 @@ from reflecting_reality_tpu.pipelines.brushnet_pipeline import StableDiffusionBr
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 quantized serving mode (enable_int8)")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "results.csv"))
     args = ap.parse_args()
 
@@ -68,6 +70,8 @@ def main():
         depth_conditioning_mode="concat",
         dtype=dtype,
     )
+    if args.int8:
+        pipe.enable_int8()
     # No tiled decode: at 1024² bs=1 the full decoder fits 16 GB easily and
     # the plain decode is ~2x faster than 4 sequential overlapping tiles
     # (0.74 s -> ~0.3 s measured); enable_vae_tiling remains the tool for
@@ -100,11 +104,12 @@ def main():
     print(f"warm: {warm:.1f}s for {args.steps} steps end-to-end "
           f"({args.steps / warm:.2f} steps/s incl. relay + decode)", flush=True)
 
+    name = "pipeline_1024_e2e_int8" if args.int8 else "pipeline_1024_e2e"
     with open(args.out, "a") as f:
         f.write(
-            f"pipeline_1024_e2e,1024,1,bf16,{round(args.steps / warm, 2)},"
+            f"{name},1024,1,bf16,{round(args.steps / warm, 2)},"
             f"{round(1.0 / warm, 3)},full pipeline per_step dispatch; warm "
-            f"{round(warm, 1)}s cold {round(cold, 1)}s; tiled decode\n"
+            f"{round(warm, 1)}s cold {round(cold, 1)}s; plain decode\n"
         )
     print(f"appended to {args.out}")
 

@@ -82,6 +82,14 @@ class _Proj(nn.Module):
 
     @nn.compact
     def __call__(self, in_features: int):
+        if not self.is_initializing():
+            p = self.variables.get("params", {})
+            if "kernel_q" in p:
+                # ops/quant.quantize_params rewrote this projection: hand the
+                # (int8 kernel, per-out-channel scale) pair to the caller so
+                # the fused matmul can run on the int8 MXU
+                bias = p.get("bias") if self.use_bias else None
+                return (p["kernel_q"], p["kernel_scale"]), bias
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (in_features, self.features),
             jnp.float32,
@@ -155,20 +163,55 @@ class Attention(nn.Module):
         wv, bv_ = _Proj(inner_dim, self.qkv_bias, name="to_v")(ctx_in)
 
         def matmul(x, w, b):
+            if isinstance(w, tuple):
+                # W8A8 serving mode (ops/quant.py): int8 GEMM, int32 MXU
+                # accumulation, f32 dequant — same semantics as _dense_int8
+                from reflecting_reality_tpu.ops.quant import _quantize_activation
+
+                wq8, s_w = w
+                xq, s_x = _quantize_activation(x)
+                y = jax.lax.dot_general(
+                    xq, wq8, (((x.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                out = y.astype(jnp.float32) * (s_x * s_w)
+                if b is not None:
+                    out = out + b.astype(jnp.float32)
+                return out.astype(self.dtype)
             # nn.Dense dtype semantics: inputs and kernel cast to module dtype
             y = x.astype(self.dtype) @ w.astype(self.dtype)
             return y + b.astype(y.dtype) if b is not None else y
 
+        def fuse(ws):
+            """Concatenate projection kernels along the output axis; int8
+            (kernel, scale) pairs fuse too (scales are per-out-channel, so
+            concatenation is exact).  Mixed float/int8 -> None (no fusion)."""
+            if all(isinstance(w, tuple) for w in ws):
+                return (jnp.concatenate([w[0] for w in ws], axis=1),
+                        jnp.concatenate([w[1] for w in ws]))
+            if not any(isinstance(w, tuple) for w in ws):
+                return jnp.concatenate(ws, axis=1)
+            return None
+
         is_self = encoder_hidden_states is None
         if is_self:
-            w_qkv = jnp.concatenate([wq, wk, wv], axis=1)
-            b_qkv = (jnp.concatenate([bq_, bk_, bv_]) if self.qkv_bias else None)
-            q, k, v = jnp.split(matmul(hidden_states, w_qkv, b_qkv), 3, axis=-1)
+            w_qkv = fuse([wq, wk, wv])
+            if w_qkv is not None:
+                b_qkv = (jnp.concatenate([bq_, bk_, bv_]) if self.qkv_bias else None)
+                q, k, v = jnp.split(matmul(hidden_states, w_qkv, b_qkv), 3, axis=-1)
+            else:
+                q = matmul(hidden_states, wq, bq_)
+                k = matmul(hidden_states, wk, bk_)
+                v = matmul(hidden_states, wv, bv_)
         else:
             q = matmul(hidden_states, wq, bq_)
-            w_kv = jnp.concatenate([wk, wv], axis=1)
-            b_kv = jnp.concatenate([bk_, bv_]) if self.qkv_bias else None
-            k, v = jnp.split(matmul(context, w_kv, b_kv), 2, axis=-1)
+            w_kv = fuse([wk, wv])
+            if w_kv is not None:
+                b_kv = jnp.concatenate([bk_, bv_]) if self.qkv_bias else None
+                k, v = jnp.split(matmul(context, w_kv, b_kv), 2, axis=-1)
+            else:
+                k = matmul(context, wk, bk_)
+                v = matmul(context, wv, bv_)
 
         bq, tq, _ = q.shape
         tk = k.shape[1]

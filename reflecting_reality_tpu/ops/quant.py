@@ -18,8 +18,11 @@ Scheme (standard W8A8 dynamic quantization, cf. SmoothQuant/Q-Diffusion):
 Mechanism: `quantize_params` rewrites Conv/Dense `kernel` leaves to
 `kernel_q` (int8) + `kernel_scale` (f32 per out-channel); at apply time a
 Flax method interceptor (`int8_interceptor`) recognizes those modules and
-computes the quantized forward instead of the float one.  Modules whose
-kernels were NOT selected run unchanged; a quantized param tree reaching a
+computes the quantized forward instead of the float one.  The attention
+q/k/v projections (parameter-only `_Proj` modules, fused at trace time)
+participate directly: ops.attention runs the fused qkv/kv matmul as one
+int8 GEMM when their kernels are quantized.  Modules whose kernels were
+NOT selected run unchanged; a quantized param tree reaching a
 non-intercepted apply fails loudly (the float `kernel` no longer exists).
 
 This is an *approximation* mode like DeepCache/encoder-reuse (the reference
@@ -67,11 +70,12 @@ def quantize_kernel(kernel: jnp.ndarray):
 
 # Timestep/class conditioning stays exact: these MLPs are tiny (M = batch)
 # so int8 buys nothing, and their output shifts every feature map in the net.
-# to_q/to_k/to_v stay exact too: ops.attention fuses them through the
-# parameter-only _Proj module (not nn.Dense), so the interceptor cannot see
-# their matmul — quantizing those kernels would fail loudly at apply time.
+# to_q/to_k/to_v are handled by ops.attention itself (not the interceptor):
+# _Proj returns the (int8 kernel, scale) pair when its tree is quantized and
+# the fused qkv/kv matmul runs as one int8 GEMM with concatenated
+# per-out-channel scales.
 DEFAULT_EXCLUDE = ("time_embedding", "time_emb_proj", "add_embedding",
-                   "class_embedding", "to_q", "to_k", "to_v")
+                   "class_embedding")
 
 
 def quantize_params(params, select: Callable = default_select,

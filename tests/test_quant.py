@@ -148,6 +148,84 @@ class TestInterceptorSemantics:
         assert out.dtype == jnp.bfloat16
 
 
+class TestAttentionProjections:
+    """to_q/to_k/to_v are parameter-only _Proj modules fused at trace time;
+    ops.attention handles their quantized form directly (fused int8 GEMM
+    with concatenated per-out-channel scales)."""
+
+    def _fake_quant_attention(self, attn, params, x, context=None):
+        """Float attention on fake-quantized q/k/v kernels and fake-quantized
+        projection inputs — the semantics the int8 path must reproduce."""
+        def fq_act(t):
+            s = jnp.maximum(jnp.abs(t.astype(jnp.float32)).max(), 1e-12) / 127.0
+            return (jnp.clip(jnp.round(t / s), -127, 127) * s).astype(t.dtype)
+
+        fq = {"params": jax.tree_util.tree_map(lambda x: x, dict(params["params"]))}
+        for name in ("to_q", "to_k", "to_v"):
+            k = fq["params"][name]["kernel"]
+            wq, s = quantize_kernel(k)
+            fq["params"][name]["kernel"] = (wq.astype(jnp.float32) * s).astype(k.dtype)
+        args = (fq_act(x),) + ((fq_act(context),) if context is not None else ())
+        return attn.apply(fq, *args)
+
+    def test_self_attention_fused_int8(self):
+        from reflecting_reality_tpu.ops.attention import Attention
+
+        attn = Attention(query_dim=32, heads=2, dim_head=16, dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 32))
+        p = attn.init(jax.random.PRNGKey(1), x)
+        qp, n = quantize_params(p["params"], select=ALL, exclude=("to_out_0",))
+        assert n == 3
+        out = quantized_apply(attn, {"params": qp}, x)
+        ref = self._fake_quant_attention(attn, p, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_cross_attention_fused_int8(self):
+        from reflecting_reality_tpu.ops.attention import Attention
+
+        attn = Attention(query_dim=32, heads=2, dim_head=16,
+                         cross_attention_dim=48, dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 32))
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 48))
+        p = attn.init(jax.random.PRNGKey(1), x, ctx)
+        qp, n = quantize_params(p["params"], select=ALL, exclude=("to_out_0",))
+        assert n == 3
+        out = quantized_apply(attn, {"params": qp}, x, ctx)
+        ref = self._fake_quant_attention(attn, p, x, ctx)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_mixed_selection_falls_back_to_unfused(self):
+        """Only to_q quantized: fusion is impossible, the per-projection path
+        must still produce finite, close-to-float results."""
+        from reflecting_reality_tpu.ops.attention import Attention
+
+        attn = Attention(query_dim=32, heads=2, dim_head=16, dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 32))
+        p = attn.init(jax.random.PRNGKey(1), x)
+        qp, n = quantize_params(
+            p["params"], select=ALL, exclude=("to_k", "to_v", "to_out_0"),
+        )
+        assert n == 1
+        out = quantized_apply(attn, {"params": qp}, x)
+        ref = attn.apply(p, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=0.1, atol=0.1)
+
+    def test_grad_still_flows_unquantized(self):
+        """The _Proj early-return must not disturb the exact/training path."""
+        from reflecting_reality_tpu.ops.attention import Attention
+
+        attn = Attention(query_dim=32, heads=2, dim_head=16, dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 32))
+        p = attn.init(jax.random.PRNGKey(1), x)
+        g = jax.grad(lambda pp: attn.apply(pp, x).sum())(p)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
 def _tiny_pipe():
     from reflecting_reality_tpu.data.tokenizer import HashTokenizer
     from reflecting_reality_tpu.models.brushnet import BrushNetModel
