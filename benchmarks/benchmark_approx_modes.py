@@ -9,9 +9,10 @@ Measures the same scanned denoise body the pipeline compiles for each mode:
 Two-point chained timing over scan lengths (relay rules).  Appends rows to
 results.csv with mode names in the notes column.
 
-Usage: python benchmarks/benchmark_approx_modes.py
+Usage: python benchmarks/benchmark_approx_modes.py [--int8]
 """
 
+import argparse
 import csv
 import os
 import sys
@@ -30,7 +31,7 @@ from reflecting_reality_tpu.schedulers.unipc import UniPCSampler
 from benchmark_mirrorfusion import build_models, denoise_inputs, timed
 
 
-def make_denoise(unet, brushnet, steps, mode, interval, dtype):
+def make_denoise(unet, brushnet, steps, mode, interval, dtype, int8=False):
     schedule = NoiseSchedule.create(
         num_train_timesteps=1000, beta_start=0.00085, beta_end=0.012,
         beta_schedule="scaled_linear",
@@ -123,30 +124,60 @@ def make_denoise(unet, brushnet, steps, mode, interval, dtype):
         )
         return latents
 
-    return jax.jit(denoise)
+    fn = jax.jit(denoise)
+    if int8:
+        # interception happens at trace time; keep every call in the context
+        import functools
+
+        import flax.linen as nn
+
+        from reflecting_reality_tpu.ops.quant import int8_interceptor
+
+        @functools.wraps(fn)
+        def wrapped(*a):
+            with nn.intercept_methods(int8_interceptor):
+                return fn(*a)
+
+        return wrapped
+    return fn
 
 
-def bench(unet, uparams, brushnet, bparams, mode, interval, dtype, n1=10, n2=50):
-    f1 = make_denoise(unet, brushnet, n1, mode, interval, dtype)
-    f2 = make_denoise(unet, brushnet, n2, mode, interval, dtype)
+def bench(unet, uparams, brushnet, bparams, mode, interval, dtype, n1=10, n2=50,
+          int8=False):
+    f1 = make_denoise(unet, brushnet, n1, mode, interval, dtype, int8)
+    f2 = make_denoise(unet, brushnet, n2, mode, interval, dtype, int8)
     args = (uparams, bparams) + denoise_inputs(1, 64, dtype)
     t1, t2 = timed(f1, args), timed(f2, args)
     return 1.0 / ((t2 - t1) / (n2 - n1))
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--int8", action="store_true",
+                    help="measure the modes under W8A8 quantized serving")
+    args = ap.parse_args()
+
     out = os.path.join(os.path.dirname(__file__), "results.csv")
     set_attention_backend("flash")
     dtype = jnp.bfloat16
     unet, uparams, brushnet, bparams = build_models(dtype)
+    if args.int8:
+        from reflecting_reality_tpu.ops.quant import quantize_params
+
+        uparams, nu = quantize_params(uparams)
+        bparams, nb = quantize_params(bparams)
+        print(f"quantized kernels: unet {nu}, brushnet {nb}", flush=True)
 
     rows = []
     for mode, interval in [("exact", 1), ("encoder_reuse", 2), ("encoder_reuse", 3),
                            ("deepcache", 2), ("deepcache", 3)]:
-        sps = bench(unet, uparams, brushnet, bparams, mode, interval, dtype)
+        sps = bench(unet, uparams, brushnet, bparams, mode, interval, dtype,
+                    int8=args.int8)
         label = mode if mode == "exact" else f"{mode}_{interval}"
-        rows.append(["denoise_512_" + label, 512, 1, "bf16", round(sps, 2),
-                     round(sps / 50, 3), f"{mode} interval={interval}"])
+        suffix = "_int8" if args.int8 else ""
+        rows.append(["denoise_512_" + label + suffix, 512, 1, "bf16", round(sps, 2),
+                     round(sps / 50, 3),
+                     f"{mode} interval={interval}" + (" W8A8 int8" if args.int8 else "")])
         print(rows[-1], flush=True)
 
     with open(out, "a", newline="") as f:
