@@ -151,16 +151,62 @@ def bench(unet, uparams, brushnet, bparams, mode, interval, dtype, n1=10, n2=50,
     return 1.0 / ((t2 - t1) / (n2 - n1))
 
 
+def latent_psnr(final, exact_final):
+    err = np.abs(final - exact_final)
+    rng = exact_final.max() - exact_final.min()
+    return float(20 * np.log10(rng / np.sqrt((err ** 2).mean())))
+
+
+def quality(unet, uparams, brushnet, bparams, dtype, steps=50, int8=False,
+            exact_final=None):
+    """Latent PSNR of each mode's full 50-step trajectory vs the exact bf16 one
+    (same methodology as benchmark_int8_e2e.py; random SD-1.5-sized weights)."""
+    args = denoise_inputs(1, 64, dtype)
+    if exact_final is None:
+        f = make_denoise(unet, brushnet, steps, "exact", 1, dtype, int8=False)
+        exact_final = np.asarray(f(uparams, bparams, *args), np.float32)
+    rows = []
+    modes = [("encoder_reuse", 2), ("encoder_reuse", 3),
+             ("deepcache", 2), ("deepcache", 3)]
+    if int8:
+        modes = [("exact", 1)] + modes
+    for mode, interval in modes:
+        f = make_denoise(unet, brushnet, steps, mode, interval, dtype, int8)
+        final = np.asarray(f(uparams, bparams, *args), np.float32)
+        label = mode if mode == "exact" else f"{mode}_{interval}"
+        if int8:
+            label += "_int8"
+        rows.append((label, latent_psnr(final, exact_final)))
+        print(f"{label}: {rows[-1][1]:.1f} dB latent PSNR vs exact", flush=True)
+    return exact_final, rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--int8", action="store_true",
                     help="measure the modes under W8A8 quantized serving")
+    ap.add_argument("--quality", action="store_true",
+                    help="report latent PSNR of each mode vs the exact "
+                         "trajectory instead of throughput")
     args = ap.parse_args()
 
     out = os.path.join(os.path.dirname(__file__), "results.csv")
     set_attention_backend("flash")
     dtype = jnp.bfloat16
     unet, uparams, brushnet, bparams = build_models(dtype)
+
+    if args.quality:
+        exact_final, _ = quality(unet, uparams, brushnet, bparams, dtype,
+                                 int8=False)
+        if args.int8:
+            from reflecting_reality_tpu.ops.quant import quantize_params
+
+            qu, _ = quantize_params(uparams)
+            qb, _ = quantize_params(bparams)
+            quality(unet, qu, brushnet, qb, dtype, int8=True,
+                    exact_final=exact_final)
+        return
+
     if args.int8:
         from reflecting_reality_tpu.ops.quant import quantize_params
 

@@ -34,6 +34,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--seeds", type=int, default=4)
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 quantized serving (approximation mode)")
+    ap.add_argument("--sweep", type=int, default=0, metavar="N",
+                    help="measure an N-distinct-sample sweep, blocking loop "
+                         "vs the CLI's one-deep overlapped loop "
+                         "(output_type='device')")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "results.csv"))
     args = ap.parse_args()
 
@@ -70,6 +76,8 @@ def main():
         dtype=dtype,
     )
     pipe.cast_params()  # bf16 weights, the production inference policy
+    if args.int8:
+        pipe.enable_int8()
 
     rs = np.random.RandomState(0)
     image = rs.rand(H, W, 3).astype(np.float32)
@@ -92,6 +100,59 @@ def main():
     assert out.shape == (args.seeds, H, W, 3), out.shape
     print(f"cold: {cold:.1f}s", flush=True)
 
+    if args.sweep:
+        def sample_kwargs(i):
+            # distinct per-sample host prep, as in the real test sweep
+            r = np.random.RandomState(100 + i)
+            kw = dict(kwargs)
+            kw.update(
+                image=r.rand(H, W, 3).astype(np.float32),
+                depth=r.rand(H, W, 1).astype(np.float32),
+                prompt=f"A perfect plane mirror reflection of object {i}",
+            )
+            return kw
+
+        def run_blocking():
+            t0 = time.time()
+            for i in range(args.sweep):
+                out = pipe(**sample_kwargs(i), output_type="pil")
+                assert len(out) == args.seeds
+            return (time.time() - t0) / args.sweep
+
+        def run_overlapped():
+            t0 = time.time()
+            pending = None
+            for i in range(args.sweep):
+                h = pipe(**sample_kwargs(i), output_type="device")
+                if pending is not None:
+                    pipe.image_processor.postprocess(
+                        np.asarray(pending), output_type="pil"
+                    )
+                pending = h
+            out = pipe.image_processor.postprocess(
+                np.asarray(pending), output_type="pil"
+            )
+            assert len(out) == args.seeds
+            return (time.time() - t0) / args.sweep
+
+        blocking = min(run_blocking(), run_blocking())
+        overlapped = min(run_overlapped(), run_overlapped())
+        tag = "_int8" if args.int8 else ""
+        print(f"sweep ({args.sweep} samples): blocking {blocking:.2f}s/sample, "
+              f"overlapped {overlapped:.2f}s/sample "
+              f"({blocking / overlapped:.3f}x)", flush=True)
+        with open(args.out, "a") as f:
+            f.write(
+                f"pipeline_512_sweep_overlap{tag},512,{args.seeds},bf16,"
+                f"{round(args.steps / overlapped, 2)},"
+                f"{round(args.seeds / overlapped, 3)},"
+                f"one-deep overlapped sweep{' W8A8 int8' if args.int8 else ''}: "
+                f"{round(overlapped, 2)}s/sample vs {round(blocking, 2)} blocking "
+                f"({round(blocking / overlapped, 3)}x) over {args.sweep} samples\n"
+            )
+        print(f"appended to {args.out}")
+        return
+
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
@@ -102,10 +163,12 @@ def main():
           f"{args.steps} steps; {args.seeds / best:.2f} images/s e2e)", flush=True)
 
     with open(args.out, "a") as f:
+        tag = "_int8" if args.int8 else ""
         f.write(
-            f"pipeline_512_e2e_protocol,512,{args.seeds},bf16,"
+            f"pipeline_512_e2e_protocol{tag},512,{args.seeds},bf16,"
             f"{round(args.steps / best, 2)},{round(args.seeds / best, 3)},"
-            f"eval protocol e2e: {args.seeds} batched seeds {args.steps} steps; "
+            f"eval protocol e2e{' W8A8 int8' if args.int8 else ''}: "
+            f"{args.seeds} batched seeds {args.steps} steps; "
             f"warm {round(best, 2)}s/sample cold {round(cold, 1)}s; "
             f"{round(samples_per_s, 3)} samples/s\n"
         )

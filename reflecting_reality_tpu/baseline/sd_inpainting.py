@@ -180,6 +180,10 @@ class SDInpaintingPipeline:
         self.dtype = dtype
         self._jit_cache = {}
 
+    @property
+    def image_processor(self):
+        return self._base.image_processor
+
     def __call__(self, prompt, image, mask, depth=None, normals=None,
                  height=None, width=None, num_inference_steps=50,
                  guidance_scale=7.5, seed=0, scheduler="unipc",
@@ -281,4 +285,6 @@ class SDInpaintingPipeline:
         if output_type == "latent":
             return np.asarray(out)
         out = b._to_uint8(out)  # device-side uint8: 4x fewer fetched bytes
+        if output_type == "device":
+            return out  # async un-fetched uint8 (see brushnet_pipeline.__call__)
         return b.image_processor.postprocess(np.asarray(out), output_type=output_type)

@@ -184,6 +184,8 @@ def build_pipeline(args):
         pipe.cast_params()
     if args.deep_cache:
         pipe.enable_deep_cache(args.deep_cache)
+    if args.encoder_reuse:
+        pipe.enable_encoder_reuse(args.encoder_reuse)
     if args.int8:
         pipe.enable_int8()
     return pipe
@@ -224,6 +226,9 @@ def build_parser():
                    choices=["fp32", "bf16"])
     p.add_argument("--deep_cache", type=int, default=None,
                    help="opt-in DeepCache interval (approximate, faster)")
+    p.add_argument("--encoder_reuse", type=int, default=None,
+                   help="opt-in encoder-reuse interval (approximate; "
+                        "mutually exclusive with --deep_cache)")
     p.add_argument("--int8", action="store_true",
                    help="W8A8 quantized serving (approximate; ~1.44x the "
                         "exact denoise rate on v5e)")

@@ -43,6 +43,8 @@ def run_inference(args, unet_path: str, output_dir: str, test_df) -> None:
     )
 
     def generate(prompt, validation_image, validation_mask, depth_image, normal_image):
+        # un-fetched device outputs; drive_rows overlaps the fetch + grid
+        # save with the next sample's denoise (see cli/test.py)
         return [
             pipe(
                 prompt, validation_image, validation_mask,
@@ -50,12 +52,23 @@ def run_inference(args, unet_path: str, output_dir: str, test_df) -> None:
                 height=args.resolution, width=args.resolution,
                 num_inference_steps=args.num_inference_steps,
                 guidance_scale=args.CFG, seed=args.seed + k,
-                output_type="pil",
-            )[0]
+                output_type="device",
+            )
             for k in range(args.num_images_per_validation)
         ]
 
-    drive_rows(args, test_df, output_dir, generate)
+    def finalize(handles):
+        import numpy as np
+
+        return [
+            img
+            for h in handles
+            for img in pipe.image_processor.postprocess(
+                np.asarray(h), output_type="pil"
+            )
+        ]
+
+    drive_rows(args, test_df, output_dir, generate, finalize)
 
 
 def _resolve_unet(path: str) -> str:

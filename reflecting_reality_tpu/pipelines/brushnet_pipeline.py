@@ -924,7 +924,8 @@ class StableDiffusionBrushNetPipeline:
         output_type: str = "np",
         deterministic_vae_encode: bool = False,
     ):
-        """Generate; returns images per `output_type` ("np" | "pil" | "latent")."""
+        """Generate; returns images per `output_type`
+        ("np" | "pil" | "latent" | "device" = async un-fetched uint8)."""
         do_cfg = guidance_scale > 1.0
         if rng is None:
             rng = jax.random.PRNGKey(0 if seed is None else seed)
@@ -1129,6 +1130,12 @@ class StableDiffusionBrushNetPipeline:
         # host link (the fp32 fetch of a 1024² image costs ~0.7 s via the
         # relay; uint8 ~0.2 s)
         image_out = self._to_uint8(image_out)
+        if output_type == "device":
+            # un-fetched device uint8: dispatch is async, so the call returns
+            # as soon as the work is enqueued.  Callers overlap host work with
+            # the denoise and fetch later via np.asarray + postprocess
+            # (see cli/test.py drive_rows' one-deep software pipeline).
+            return image_out
         return self.image_processor.postprocess(np.asarray(image_out), output_type=output_type)
 
     @functools.cached_property

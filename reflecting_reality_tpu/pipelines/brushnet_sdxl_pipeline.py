@@ -402,4 +402,6 @@ class StableDiffusionXLBrushNetPipeline(StableDiffusionBrushNetPipeline):
         if output_type == "latent":
             return np.asarray(out)
         out = self._to_uint8(out)  # device-side uint8: 4x fewer fetched bytes
+        if output_type == "device":
+            return out  # async un-fetched uint8 (see brushnet_pipeline.__call__)
         return self.image_processor.postprocess(np.asarray(out), output_type=output_type)

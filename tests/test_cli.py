@@ -235,6 +235,57 @@ class TestCLIJourney:
         ])
         assert len(os.listdir(infer_out)) == 2
 
+    def test_cached_mode_inference_flags(self, env, tmp_path):
+        """--deep_cache / --encoder_reuse wire the cached serving modes into
+        the inference driver (mode math itself is pinned in
+        tests/test_deepcache.py; mutual exclusion in tests/test_pipeline.py)."""
+        import jax
+        import numpy as np
+
+        base, data = env
+        from reflecting_reality_tpu.core.io import load_pretrained, save_pretrained
+        from reflecting_reality_tpu.models import UNet2DConditionModel
+        from reflecting_reality_tpu.models.brushnet import (
+            BrushNetModel,
+            init_params_from_unet,
+        )
+
+        unet_module, unet_params = load_pretrained(
+            UNet2DConditionModel, base, subfolder="unet"
+        )
+        cfg = BrushNetModel.config_from_unet(unet_module, conditioning_channels=6)
+        brushnet = BrushNetModel.from_config(cfg)
+        bparams = brushnet.init(
+            jax.random.PRNGKey(0),
+            np.zeros((1, 8, 8, 4), np.float32),
+            np.zeros((1,), np.int32),
+            np.zeros((1, 77, unet_module.cross_attention_dim), np.float32),
+            np.zeros((1, 8, 8, 6), np.float32),
+        )
+        bparams = init_params_from_unet(
+            jax.device_get(bparams)["params"], unet_params["params"]
+        )
+        ckpt = str(tmp_path / "ckpt" / "brushnet")
+        save_pretrained(brushnet, bparams, ckpt)
+
+        from reflecting_reality_tpu.cli import test as test_cli
+
+        infer_out = str(tmp_path / "infer_dc")
+        test_cli.main([
+            "--brushnet_path", ckpt,
+            "--base_model_path", base,
+            "--train_data_dir", data,
+            "--output_dir", infer_out,
+            "--resolution", "64",
+            "--num_inference_steps", "4",
+            "--num_images_per_validation", "1",
+            "--depth_conditioning_mode", "concat",
+            "--num_samples", "1",
+            "--seed", "0",
+            "--deep_cache", "2",
+        ])
+        assert len(os.listdir(infer_out)) == 1
+
 
 @pytest.mark.integration
 def test_nonfinite_loss_guard(tmp_path):

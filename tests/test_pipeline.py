@@ -98,6 +98,21 @@ class TestPipeline:
                    num_inference_steps=2, seed=0, output_type="pil")
         assert len(pil) == 1 and pil[0].size == (W, H)
 
+    def test_device_output_matches_blocking(self, pipe):
+        """output_type='device' returns un-fetched uint8 whose fetched
+        postprocess is byte-identical to the blocking 'np' path (the CLI's
+        overlapped drive loop relies on this)."""
+        image, mask, depth = _inputs()
+        blocking = pipe(prompt="m", image=image, mask=mask, depth=depth,
+                        num_inference_steps=2, seed=0, output_type="np")
+        dev = pipe(prompt="m", image=image, mask=mask, depth=depth,
+                   num_inference_steps=2, seed=0, output_type="device")
+        fetched = pipe.image_processor.postprocess(
+            np.asarray(dev), output_type="np"
+        )
+        assert fetched.dtype == blocking.dtype
+        np.testing.assert_array_equal(fetched, blocking)
+
     def test_control_guidance_window(self, pipe):
         image, mask, depth = _inputs()
         out = pipe(prompt="m", image=image, mask=mask, depth=depth,
