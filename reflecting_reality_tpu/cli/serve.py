@@ -5,8 +5,16 @@ The reference has no serving story (batch scripts only); on TPU the pipeline
 is one cached jitted program per (shape, steps) key, so a resident server
 amortizes compilation across requests — first request per shape pays the
 compile (or hits --compilation_cache_dir), subsequent requests run at the
-benchmark rate.  Pure stdlib (http.server), single-threaded by design: the
-chip is the serial resource; concurrent requests queue in the listen backlog.
+benchmark rate.  Pure stdlib (http.server).
+
+Two serving modes:
+  --max_batch 1 (default): single-threaded; the chip is the serial resource
+    and concurrent requests queue in the listen backlog.
+  --max_batch N: micro-batching — handler threads enqueue requests, a worker
+    drains up to N compatible ones into ONE batched pipeline call (padded to
+    power-of-2 buckets so XLA compiles one program per bucket).  Measured
+    512² throughput rises ~12% at bs4 (results.csv denoise_512_bs4); int8
+    serving gains more (1.19x at bs4).  See BatchingPipelineServer.
 
 API (JSON in, JSON out; images as base64 PNG or nested float lists):
 
@@ -34,8 +42,10 @@ import base64
 import io
 import json
 import logging
+import queue
+import threading
 import time
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, HTTPServer, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
@@ -79,44 +89,238 @@ def _encode_png(arr: np.ndarray) -> str:
     return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
+def _parse_payload(payload: dict, pipe, default_steps: int) -> dict:
+    """Decode a /generate request into pipeline kwargs (handler thread:
+    the CPU-side PNG decode overlaps the chip's work on other requests)."""
+    depth = payload.get("depth")
+    if depth is not None:
+        depth = _decode_image(depth, channels=1)
+    normals = payload.get("normals")
+    if normals is not None and pipe.normals_conditioning_mode != "ip_adapter":
+        normals = _decode_image(normals, channels=3)
+    elif normals is not None:
+        normals = np.asarray(normals, np.float32)
+    return dict(
+        prompt=payload["prompt"],
+        image=_decode_image(payload["image"], channels=3),
+        mask=_decode_image(payload["mask"], channels=3),
+        depth=depth,
+        normals=normals,
+        num_inference_steps=int(payload.get("num_inference_steps",
+                                            default_steps)),
+        guidance_scale=float(payload.get("guidance_scale", 7.5)),
+        negative_prompt=payload.get("negative_prompt"),
+        seed=int(payload.get("seed", 0)),
+        num_images_per_prompt=int(payload.get("num_images_per_prompt", 1)),
+        scheduler=payload.get("scheduler", "unipc"),
+        deterministic_vae_encode=bool(
+            payload.get("deterministic_vae_encode", False)),
+    )
+
+
 class PipelineServer:
     def __init__(self, pipe, default_steps: int = 50):
         self.pipe = pipe
         self.default_steps = default_steps
         self.requests = 0
 
+    def stats(self) -> dict:
+        return {"requests": self.requests}
+
     def generate(self, payload: dict) -> dict:
         t0 = time.perf_counter()
-        prompt = payload["prompt"]
-        image = _decode_image(payload["image"], channels=3)
-        mask = _decode_image(payload["mask"], channels=3)
-        depth = payload.get("depth")
-        if depth is not None:
-            depth = _decode_image(depth, channels=1)
-        normals = payload.get("normals")
-        if normals is not None and self.pipe.normals_conditioning_mode != "ip_adapter":
-            normals = _decode_image(normals, channels=3)
-        elif normals is not None:
-            normals = np.asarray(normals, np.float32)
-
-        out = self.pipe(
-            prompt=prompt,
-            image=image,
-            mask=mask,
-            depth=depth,
-            normals=normals,
-            num_inference_steps=int(payload.get("num_inference_steps",
-                                                self.default_steps)),
-            guidance_scale=float(payload.get("guidance_scale", 7.5)),
-            seed=int(payload.get("seed", 0)),
-            num_images_per_prompt=int(payload.get("num_images_per_prompt", 1)),
-            scheduler=payload.get("scheduler", "unipc"),
-        )
+        out = self.pipe(**_parse_payload(payload, self.pipe, self.default_steps))
         self.requests += 1
         return {
             "images": [_encode_png(img) for img in out],
             "latency_s": round(time.perf_counter() - t0, 3),
         }
+
+
+class _Pending:
+    """One queued /generate request: parsed kwargs + a completion event."""
+
+    __slots__ = ("parsed", "event", "images", "error", "batch_size")
+
+    def __init__(self, parsed):
+        self.parsed = parsed
+        self.event = threading.Event()
+        self.images = None
+        self.error = None
+        self.batch_size = 0
+
+
+class BatchingPipelineServer(PipelineServer):
+    """Micro-batching front end for the single-chip pipeline.
+
+    The chip is the serial resource, and the measured MXU efficiency rises
+    with batch (512²: 0.82 images/s at bs1 -> 0.92 at bs4, results.csv), so
+    while one batch denoises, newly arrived requests accumulate in a queue;
+    when the worker frees up it drains up to `max_batch` COMPATIBLE requests
+    (same image shape / steps / guidance / scheduler / ...) into one batched
+    pipeline call.  Batches are padded up to power-of-2 buckets so XLA
+    compiles one program per bucket size, not per arrival pattern.
+
+    Per-request seeds are honored exactly: the worker pre-draws each
+    request's initial noise with the same PRNG-key derivation the pipeline
+    uses for a solo call and passes the stacked noise via `latents`.  (The
+    one batch-level difference: the stochastic VAE encode of the
+    conditioning image draws from a single batch key; send
+    "deterministic_vae_encode": true for bit-identical solo/batched
+    results.)  Incompatible requests are re-queued and served in a later
+    batch — arrival order is preserved per compatibility class, not
+    globally.
+    """
+
+    def __init__(self, pipe, default_steps: int = 50, max_batch: int = 4):
+        super().__init__(pipe, default_steps)
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self.max_batch = max_batch
+        self.batches = 0
+        self.batched_requests = 0
+        self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def stats(self) -> dict:
+        return {
+            "requests": self.requests,
+            "batches": self.batches,
+            "mean_batch_size": round(
+                self.batched_requests / max(1, self.batches), 3),
+            "queue_depth": self._queue.qsize(),
+            "max_batch": self.max_batch,
+        }
+
+    def close(self):
+        self._queue.put(None)
+        self._worker.join(timeout=30)
+
+    # -- handler side ------------------------------------------------------
+
+    def generate(self, payload: dict) -> dict:
+        t0 = time.perf_counter()
+        req = _Pending(_parse_payload(payload, self.pipe, self.default_steps))
+        self._queue.put(req)
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        self.requests += 1
+        return {
+            "images": [_encode_png(img) for img in req.images],
+            "latency_s": round(time.perf_counter() - t0, 3),
+            "batch_size": req.batch_size,
+        }
+
+    # -- worker side -------------------------------------------------------
+
+    @staticmethod
+    def _key(parsed: dict):
+        """Requests sharing this key can share one compiled batched call."""
+        def shp(x):
+            return None if x is None else tuple(np.shape(x))
+
+        return (
+            shp(parsed["image"]), shp(parsed["mask"]), shp(parsed["depth"]),
+            shp(parsed["normals"]), parsed["num_inference_steps"],
+            parsed["guidance_scale"], parsed["negative_prompt"],
+            parsed["num_images_per_prompt"], parsed["scheduler"],
+            parsed["deterministic_vae_encode"],
+        )
+
+    def _drain(self, first: _Pending) -> list:
+        """Collect up to max_batch requests compatible with `first`;
+        incompatible ones go back to the queue tail."""
+        batch, putback = [first], []
+        key = self._key(first.parsed)
+        for _ in range(self._queue.qsize()):
+            if len(batch) >= self.max_batch:
+                break
+            try:
+                nxt = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is None:
+                putback.append(nxt)  # keep the shutdown sentinel queued
+            elif self._key(nxt.parsed) == key:
+                batch.append(nxt)
+            else:
+                putback.append(nxt)
+        for item in putback:
+            self._queue.put(item)
+        return batch
+
+    def _run(self):
+        while True:
+            first = self._queue.get()
+            if first is None:
+                return
+            batch = self._drain(first)
+            try:
+                self._execute(batch)
+            except Exception as e:  # delivered to every waiting handler
+                for req in batch:
+                    req.error = e
+            finally:
+                for req in batch:
+                    req.event.set()
+
+    def _execute(self, batch: list) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        pipe = self.pipe
+        n = len(batch)
+        bucket = min(1 << (n - 1).bit_length(), self.max_batch)
+        # pad with copies of the last request; padded outputs are dropped
+        parsed = [r.parsed for r in batch] + [batch[-1].parsed] * (bucket - n)
+        p0 = parsed[0]
+        nip = p0["num_images_per_prompt"]
+
+        def stack(name):
+            vals = [q[name] for q in parsed]
+            if vals[0] is None:
+                return None
+            out = np.stack(vals, axis=0)
+            # interleaved per-prompt repeat, matching encode_prompt's
+            # jnp.repeat(cond, num_images_per_prompt, axis=0)
+            return np.repeat(out, nip, axis=0) if nip > 1 else out
+
+        image = stack("image")
+        h, w = image.shape[1:3]
+        hl, wl = h // pipe.vae_scale_factor, w // pipe.vae_scale_factor
+        ch = pipe.unet_module.in_channels
+        # per-request initial noise, exactly the solo-call derivation:
+        # rng_noise = split(PRNGKey(seed), 4)[0]
+        keys = jnp.stack([
+            jax.random.split(jax.random.PRNGKey(q["seed"]), 4)[0]
+            for q in parsed
+        ])
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, (nip, hl, wl, ch), jnp.float32)
+        )(keys).reshape(bucket * nip, hl, wl, ch)
+
+        out = pipe(
+            prompt=[q["prompt"] for q in parsed],
+            image=image,
+            mask=stack("mask"),
+            depth=stack("depth"),
+            normals=stack("normals"),
+            num_inference_steps=p0["num_inference_steps"],
+            guidance_scale=p0["guidance_scale"],
+            negative_prompt=p0["negative_prompt"],
+            num_images_per_prompt=nip,
+            seed=p0["seed"],          # batch-level key for the VAE encode
+            latents=noise,
+            scheduler=p0["scheduler"],
+            deterministic_vae_encode=p0["deterministic_vae_encode"],
+        )
+        for k, req in enumerate(batch):
+            req.images = out[k * nip:(k + 1) * nip]
+            req.batch_size = n
+        self.batches += 1
+        self.batched_requests += n
 
 
 def make_handler(server: PipelineServer):
@@ -136,7 +340,7 @@ def make_handler(server: PipelineServer):
                 self._reply(200, {
                     "status": "ok",
                     "device": jax.devices()[0].platform,
-                    "requests": server.requests,
+                    **server.stats(),
                 })
             else:
                 self._reply(404, {"error": "unknown path"})
@@ -232,6 +436,11 @@ def build_parser():
     p.add_argument("--int8", action="store_true",
                    help="W8A8 quantized serving (approximate; ~1.44x the "
                         "exact denoise rate on v5e)")
+    p.add_argument("--max_batch", type=int, default=1,
+                   help="micro-batching: drain up to N queued compatible "
+                        "requests into one batched pipeline call (padded to "
+                        "power-of-2 buckets; ~12%% more images/s at bs4). "
+                        "1 = serial single-request serving")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--num_inference_steps", type=int, default=50)
@@ -249,14 +458,25 @@ def main(argv=None):
 
     enable_compilation_cache(args.compilation_cache_dir)
     pipe = build_pipeline(args)
-    server = PipelineServer(pipe, default_steps=args.num_inference_steps)
+    if args.max_batch > 1:
+        # concurrent handler threads feed the worker's queue; the chip
+        # stays the serial resource behind the micro-batcher
+        server = BatchingPipelineServer(
+            pipe, default_steps=args.num_inference_steps,
+            max_batch=args.max_batch,
+        )
+        server_cls = ThreadingHTTPServer
+    else:
+        server = PipelineServer(pipe, default_steps=args.num_inference_steps)
+        server_cls = HTTPServer
     if args.warmup:
         warmup(server, args.warmup, args.num_inference_steps,
                depth=args.depth_conditioning_mode is not None,
                normals_mode=args.normals_conditioning_mode)
 
-    httpd = HTTPServer((args.host, args.port), make_handler(server))
-    logger.info("serving on http://%s:%d", args.host, args.port)
+    httpd = server_cls((args.host, args.port), make_handler(server))
+    logger.info("serving on http://%s:%d (max_batch=%d)",
+                args.host, args.port, args.max_batch)
     httpd.serve_forever()
 
 

@@ -28,7 +28,7 @@ H = W = 64
 
 
 @pytest.fixture(scope="module")
-def served():
+def tiny_pipe():
     cfg = dict(
         block_out_channels=(8, 16, 16, 16),
         attention_head_dim=2,
@@ -45,7 +45,7 @@ def served():
     sample = jnp.zeros((1, 8, 8, 4))
     t = jnp.array([1])
     ehs = jnp.zeros((1, 77, 32))
-    pipe = StableDiffusionBrushNetPipeline(
+    return StableDiffusionBrushNetPipeline(
         vae=(vae, vae.init(rngs[2], jnp.zeros((1, H, W, 3)), jax.random.PRNGKey(9))),
         text_encoder=(text, text.init(rngs[3], jnp.zeros((1, 77), jnp.int32))),
         tokenizer=HashTokenizer(vocab_size=1000),
@@ -54,6 +54,11 @@ def served():
                                           jnp.zeros((1, 8, 8, 6)))),
         depth_conditioning_mode="concat",
     )
+
+
+@pytest.fixture(scope="module")
+def served(tiny_pipe):
+    pipe = tiny_pipe
     server = PipelineServer(pipe, default_steps=2)
     httpd = HTTPServer(("127.0.0.1", 0), make_handler(server))
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -168,3 +173,166 @@ def test_decode_image_bit_depths():
     # float arrays pass through untouched
     arr = np.linspace(-1, 1, 64).reshape(8, 8).astype(np.float32)
     np.testing.assert_array_equal(_decode_image(arr.tolist(), channels=1)[..., 0], arr)
+
+
+def _distinct_payload(seed):
+    """Per-seed distinct image/depth so batched requests are real work."""
+    rng = np.random.RandomState(100 + seed)
+    mask = np.zeros((H, W, 3), np.float32)
+    mask[16:48, 16:48] = 1.0
+    return {
+        "prompt": f"a mirror {seed}",
+        "image": rng.rand(H, W, 3).astype(np.float32).tolist(),
+        "mask": mask.tolist(),
+        "depth": rng.rand(H, W, 1).astype(np.float32).tolist(),
+        "num_inference_steps": 2,
+        "seed": seed,
+        "deterministic_vae_encode": True,
+    }
+
+
+class TestBatchingServer:
+    """Micro-batched serving (BatchingPipelineServer): request parity,
+    drain compatibility, bucket padding, and live concurrent round-trip."""
+
+    def test_batched_matches_solo(self, tiny_pipe):
+        """3 distinct requests through one padded bucket-4 batched call ==
+        the 3 solo pipeline calls (deterministic VAE encode; per-request
+        seeds travel as pre-drawn latents)."""
+        from reflecting_reality_tpu.cli.serve import (
+            BatchingPipelineServer,
+            _Pending,
+            _parse_payload,
+        )
+
+        srv = BatchingPipelineServer(tiny_pipe, default_steps=2, max_batch=4)
+        srv.close()  # stop the worker; drive _execute directly (deterministic)
+        payloads = [_distinct_payload(s) for s in (0, 3, 11)]
+        reqs = [_Pending(_parse_payload(p, tiny_pipe, 2)) for p in payloads]
+        srv._execute(reqs)
+        assert srv.batches == 1 and srv.batched_requests == 3
+        for p, r in zip(payloads, reqs):
+            assert r.batch_size == 3 and len(r.images) == 1
+            solo = tiny_pipe(**_parse_payload(p, tiny_pipe, 2))
+            diff = np.abs(solo[0].astype(np.int16) - r.images[0].astype(np.int16))
+            assert diff.max() <= 1, f"seed {p['seed']}: max uint8 diff {diff.max()}"
+
+    def test_batched_num_images_per_prompt(self, tiny_pipe):
+        """nip>1 in a batch: outputs split per request, 2 images each,
+        matching the solo call's images."""
+        from reflecting_reality_tpu.cli.serve import (
+            BatchingPipelineServer,
+            _Pending,
+            _parse_payload,
+        )
+
+        srv = BatchingPipelineServer(tiny_pipe, default_steps=2, max_batch=2)
+        srv.close()
+        payloads = [dict(_distinct_payload(s), num_images_per_prompt=2)
+                    for s in (1, 7)]
+        reqs = [_Pending(_parse_payload(p, tiny_pipe, 2)) for p in payloads]
+        srv._execute(reqs)
+        for p, r in zip(payloads, reqs):
+            assert len(r.images) == 2
+            solo = tiny_pipe(**_parse_payload(p, tiny_pipe, 2))
+            for k in range(2):
+                diff = np.abs(solo[k].astype(np.int16) - r.images[k].astype(np.int16))
+                assert diff.max() <= 1
+
+    def test_drain_splits_incompatible(self, tiny_pipe):
+        """_drain groups only requests sharing the compiled-call key; an
+        incompatible request (different steps) goes back to the queue."""
+        from reflecting_reality_tpu.cli.serve import (
+            BatchingPipelineServer,
+            _Pending,
+            _parse_payload,
+        )
+
+        srv = BatchingPipelineServer(tiny_pipe, default_steps=2, max_batch=8)
+        srv.close()
+        a1 = _Pending(_parse_payload(_distinct_payload(0), tiny_pipe, 2))
+        a2 = _Pending(_parse_payload(_distinct_payload(1), tiny_pipe, 2))
+        other = _Pending(_parse_payload(
+            dict(_distinct_payload(2), num_inference_steps=3), tiny_pipe, 2))
+        srv._queue.put(a2)
+        srv._queue.put(other)
+        batch = srv._drain(a1)
+        assert batch == [a1, a2]
+        assert srv._queue.get_nowait() is other
+
+    def test_concurrent_http_roundtrip(self, tiny_pipe):
+        """Live worker + ThreadingHTTPServer: concurrent posts all succeed,
+        bytes match the solo server, healthz reports batch stats."""
+        from http.server import ThreadingHTTPServer
+
+        from reflecting_reality_tpu.cli.serve import (
+            BatchingPipelineServer,
+            make_handler,
+        )
+
+        server = BatchingPipelineServer(tiny_pipe, default_steps=2, max_batch=4)
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        url = f"http://127.0.0.1:{httpd.server_port}"
+        try:
+            results = [None] * 3
+            def go(k):
+                results[k] = _post(url + "/generate", _distinct_payload(k))
+
+            threads = [threading.Thread(target=go, args=(k,)) for k in range(3)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            from PIL import Image
+
+            def pixels(b64png):
+                return np.asarray(
+                    Image.open(io.BytesIO(base64.b64decode(b64png)))
+                ).astype(np.int16)
+
+            for k, (status, body) in enumerate(results):
+                assert status == 200, body
+                assert len(body["images"]) == 1 and body["batch_size"] >= 1
+                solo_status, solo_body = _post(
+                    url + "/generate", _distinct_payload(k))
+                assert solo_status == 200
+                # batched vs solo programs may differ by 1 uint8 step from
+                # batch-size-dependent XLA fusion; the content must match
+                diff = np.abs(pixels(solo_body["images"][0])
+                              - pixels(body["images"][0]))
+                assert diff.max() <= 1, f"seed {k}: max diff {diff.max()}"
+            with urllib.request.urlopen(url + "/healthz", timeout=60) as r:
+                stats = json.loads(r.read())
+            assert stats["requests"] == 6 and stats["batches"] >= 2
+            assert stats["max_batch"] == 4
+        finally:
+            httpd.shutdown()
+            server.close()
+
+    def test_worker_error_recovery(self, tiny_pipe):
+        """A request the pipeline rejects (no depth on a depth-conditioned
+        model) 400s without wedging the worker; the next request succeeds."""
+        from http.server import ThreadingHTTPServer
+
+        from reflecting_reality_tpu.cli.serve import (
+            BatchingPipelineServer,
+            make_handler,
+        )
+
+        server = BatchingPipelineServer(tiny_pipe, default_steps=2, max_batch=2)
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        url = f"http://127.0.0.1:{httpd.server_port}"
+        try:
+            bad = _distinct_payload(0)
+            del bad["depth"]
+            status, body = _post(url + "/generate", bad)
+            assert status == 400 and "depth" in body["error"]
+            status, body = _post(url + "/generate", _distinct_payload(1))
+            assert status == 200, body
+        finally:
+            httpd.shutdown()
+            server.close()
