@@ -30,23 +30,10 @@ from reflecting_reality_tpu.ops.attention import set_attention_backend
 from reflecting_reality_tpu.pipelines.brushnet_pipeline import StableDiffusionBrushNetPipeline
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--seeds", type=int, default=4)
-    ap.add_argument("--int8", action="store_true",
-                    help="W8A8 quantized serving (approximation mode)")
-    ap.add_argument("--sweep", type=int, default=0, metavar="N",
-                    help="measure an N-distinct-sample sweep, blocking loop "
-                         "vs the CLI's one-deep overlapped loop "
-                         "(output_type='device')")
-    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "results.csv"))
-    args = ap.parse_args()
-
+def build_pipe(dtype=jnp.bfloat16):
+    """SD-1.5-sized pipeline on random weights (flash attention, depth
+    concat), shared by the 512 protocol/sweep and serving benchmarks."""
     set_attention_backend("flash")
-    dtype = jnp.bfloat16
-    H = W = 512
-
     unet = UNet2DConditionModel(dtype=dtype)
     brushnet = BrushNetModel(conditioning_channels=6, dtype=dtype)
     vae = AutoencoderKL(dtype=dtype)
@@ -66,7 +53,7 @@ def main():
     )
     tparams = jax.jit(text.init)(jax.random.PRNGKey(3), jnp.zeros((1, 77), jnp.int32))
 
-    pipe = StableDiffusionBrushNetPipeline(
+    return StableDiffusionBrushNetPipeline(
         vae=(vae, vparams),
         text_encoder=(text, tparams),
         tokenizer=HashTokenizer(vocab_size=49408),
@@ -75,6 +62,24 @@ def main():
         depth_conditioning_mode="concat",
         dtype=dtype,
     )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--seeds", type=int, default=4)
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 quantized serving (approximation mode)")
+    ap.add_argument("--sweep", type=int, default=0, metavar="N",
+                    help="measure an N-distinct-sample sweep, blocking loop "
+                         "vs the CLI's one-deep overlapped loop "
+                         "(output_type='device')")
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "results.csv"))
+    args = ap.parse_args()
+
+    dtype = jnp.bfloat16
+    H = W = 512
+    pipe = build_pipe(dtype)
     pipe.cast_params()  # bf16 weights, the production inference policy
     if args.int8:
         pipe.enable_int8()
