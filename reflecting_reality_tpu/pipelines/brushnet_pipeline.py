@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
-from reflecting_reality_tpu.pipelines.image_processor import ImageProcessor, interpolate_nearest
+from reflecting_reality_tpu.pipelines.image_processor import ImageProcessor
 from reflecting_reality_tpu.schedulers.common import (
     NoiseSchedule,
     ddim_timesteps,
@@ -952,43 +952,16 @@ class StableDiffusionBrushNetPipeline:
 
         hl, wl = h // self.vae_scale_factor, w // self.vae_scale_factor
 
-        # 3. conditioning latents (device)
-        enc = (
-            (lambda p, x, r: self._encode_mode(p, x))
-            if deterministic_vae_encode else self._encode_sample
-        )
-        # Host->device transfer dtype: when the pipeline computes in bf16,
-        # the encoder casts its input to bf16 on arrival anyway, so shipping
-        # bf16 halves the bytes through the relay (~0.5 s for the three
-        # full-res conditioning inputs at 1024²) with BIT-IDENTICAL results.
-        # fp32 pipelines (golden parity) keep fp32 transfers.
-        if self.dtype == jnp.bfloat16:
-            import ml_dtypes
-
-            _wire = lambda a: np.asarray(a, ml_dtypes.bfloat16)  # noqa: E731
-        else:
-            _wire = lambda a: a  # noqa: E731
-        cond = enc(self.vae_params, jnp.asarray(_wire(image_np)), rng_vae)
-        mask_lat = jnp.asarray(interpolate_nearest(mask_np, hl, wl))
-        cond = jnp.concatenate([cond, mask_lat.astype(cond.dtype)], axis=-1)
-
+        # host prep of the optional full-res conditioning planes
+        depth_np = normals_np = None
         if self.depth_conditioning_mode is not None:
             if depth is None:
                 raise ValueError("depth_conditioning_mode set but no depth given")
-            depth_np = self.image_processor.preprocess(depth, h, w)
+            if self.depth_conditioning_mode not in ("concat", "latents"):
+                raise ValueError(self.depth_conditioning_mode)
+            depth_np = self.image_processor.preprocess(depth, h, w)[..., :1]
             if depth_np.shape[0] == 1 and batch_size > 1:
                 depth_np = np.repeat(depth_np, batch_size, axis=0)
-            if self.depth_conditioning_mode == "concat":
-                d = interpolate_nearest(depth_np[..., :1], hl, wl)
-                cond = jnp.concatenate([cond, jnp.asarray(d).astype(cond.dtype)], axis=-1)
-            elif self.depth_conditioning_mode == "latents":
-                d3 = np.repeat(depth_np[..., :1], 3, axis=-1)
-                dlat = enc(self.vae_params, jnp.asarray(_wire(d3)), rng_dep)
-                cond = jnp.concatenate([cond, dlat.astype(cond.dtype)], axis=-1)
-            else:
-                raise ValueError(self.depth_conditioning_mode)
-
-        brushnet_embeds = prompt_embeds
         if self.normals_conditioning_mode in ("concat", "latents"):
             if normals is None:
                 raise ValueError(
@@ -996,11 +969,71 @@ class StableDiffusionBrushNetPipeline:
             normals_np = self.image_processor.preprocess(normals, h, w)
             if normals_np.shape[0] == 1 and batch_size > 1:
                 normals_np = np.repeat(normals_np, batch_size, axis=0)
+
+        # 3. conditioning latents (device)
+        enc = (
+            (lambda p, x, r: self._encode_mode(p, x))
+            if deterministic_vae_encode else self._encode_sample
+        )
+        # Host->device transfer policy: ONE packed upload carries
+        # image+depth+normals+mask — each jnp.asarray of host data is a
+        # synchronous transfer with a fixed per-call cost (~0.2-0.7 s via
+        # the relay at 1024²), so packing the planes into a single array
+        # saves 2 round-trips per sample; the latent-resolution
+        # mask/depth/normals downsamples become device-side index gathers
+        # with interpolate_nearest's exact indices (pure selection —
+        # bit-identical to host downsampling).  When the pipeline computes
+        # in bf16 the wire dtype is bf16 too (the encoder casts on arrival
+        # anyway, so results are BIT-IDENTICAL; halves the bytes); fp32
+        # pipelines (golden parity) keep fp32 transfers.
+        if self.dtype == jnp.bfloat16:
+            import ml_dtypes
+
+            _wire = lambda a: np.asarray(a, ml_dtypes.bfloat16)  # noqa: E731
+        else:
+            _wire = lambda a: a  # noqa: E731
+        parts = [image_np]
+        if depth_np is not None:
+            parts.append(depth_np)
+        if normals_np is not None:
+            parts.append(normals_np)
+        parts.append(mask_np)
+        packed = jnp.asarray(_wire(np.concatenate(parts, axis=-1)))
+        image_dev = packed[..., :3]
+        ofs = 3
+        if depth_np is not None:
+            depth_dev = packed[..., ofs:ofs + 1]
+            ofs += 1
+        if normals_np is not None:
+            normals_dev = packed[..., ofs:ofs + 3]
+            ofs += 3
+        mask_dev = packed[..., ofs:ofs + 1]
+
+        rows = (np.arange(hl) * h // hl).astype(np.int32)
+        cols = (np.arange(wl) * w // wl).astype(np.int32)
+
+        def down(a):  # interpolate_nearest's indices, applied on device
+            return a[:, rows][:, :, cols]
+
+        cond = enc(self.vae_params, image_dev, rng_vae)
+        cond = jnp.concatenate([cond, down(mask_dev).astype(cond.dtype)], axis=-1)
+
+        if depth_np is not None:
+            if self.depth_conditioning_mode == "concat":
+                cond = jnp.concatenate(
+                    [cond, down(depth_dev).astype(cond.dtype)], axis=-1)
+            else:  # "latents": 3-channel repeat -> VAE encode
+                dlat = enc(self.vae_params,
+                           jnp.repeat(depth_dev, 3, axis=-1), rng_dep)
+                cond = jnp.concatenate([cond, dlat.astype(cond.dtype)], axis=-1)
+
+        brushnet_embeds = prompt_embeds
+        if normals_np is not None:
             if self.normals_conditioning_mode == "concat":
-                n = interpolate_nearest(normals_np, hl, wl)
-                cond = jnp.concatenate([cond, jnp.asarray(n).astype(cond.dtype)], axis=-1)
+                cond = jnp.concatenate(
+                    [cond, down(normals_dev).astype(cond.dtype)], axis=-1)
             else:
-                nlat = enc(self.vae_params, jnp.asarray(_wire(normals_np)), rng_nrm)
+                nlat = enc(self.vae_params, normals_dev, rng_nrm)
                 cond = jnp.concatenate([cond, nlat.astype(cond.dtype)], axis=-1)
         elif self.normals_conditioning_mode == "ip_adapter":
             # normals = the (1, 3) unit mean-mirror-normal from the dataset's

@@ -333,3 +333,97 @@ class TestDataParallelGeneration:
                      num_inference_steps=2, seed=0, num_images_per_prompt=3)
         finally:
             pipe.disable_data_parallel()
+
+
+class TestConditioningModes:
+    """The depth/normals conditioning-mode matrix beyond the golden-pinned
+    depth-concat path (reference pipeline_brushnet.py:1188-1215: depth
+    'concat' 1ch | 'latents' 4ch VAE-encoded; normals 'concat' 3ch |
+    'latents' 4ch).  All run through the single packed host->device
+    conditioning upload."""
+
+    def _pipe(self, depth_mode, normals_mode, cond_channels):
+        cfg = dict(
+            block_out_channels=(8, 16, 16, 16),
+            attention_head_dim=2,
+            cross_attention_dim=32,
+            norm_num_groups=4,
+            layers_per_block=2,
+        )
+        unet = UNet2DConditionModel(sample_size=8, **cfg)
+        brushnet = BrushNetModel(conditioning_channels=cond_channels, **cfg)
+        vae = AutoencoderKL(block_out_channels=(8, 8, 8, 8), norm_num_groups=4)
+        text = CLIPTextModel(
+            vocab_size=1000, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+        )
+        rngs = jax.random.split(jax.random.PRNGKey(0), 4)
+        sample = jnp.zeros((1, 8, 8, 4))
+        t = jnp.array([1])
+        ehs = jnp.zeros((1, 77, 32))
+        bparams = brushnet.init(
+            rngs[1], sample, t, ehs, jnp.zeros((1, 8, 8, cond_channels)))
+        # a fresh BrushNet's 28 zero-convs make it an identity w.r.t. the
+        # base UNet (conditioning cannot reach the output); perturb the
+        # params so the sensitivity assertions below are meaningful
+        leaves = jax.tree_util.tree_leaves_with_path(bparams)
+        bparams = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(bparams),
+            [v + 0.05 * jax.random.normal(jax.random.PRNGKey(hash(str(p)) % (2**31)),
+                                          v.shape, v.dtype)
+             for p, v in leaves],
+        )
+        return StableDiffusionBrushNetPipeline(
+            vae=(vae, vae.init(rngs[2], jnp.zeros((1, H, W, 3)),
+                               jax.random.PRNGKey(9))),
+            text_encoder=(text, text.init(rngs[3], jnp.zeros((1, 77), jnp.int32))),
+            tokenizer=HashTokenizer(vocab_size=1000),
+            unet=(unet, unet.init(rngs[0], sample, t, ehs)),
+            brushnet=(brushnet, bparams),
+            depth_conditioning_mode=depth_mode,
+            normals_conditioning_mode=normals_mode,
+        )
+
+    def test_depth_latents_mode(self):
+        """depth 'latents': 3ch-repeat -> VAE encode -> 4 extra cond
+        channels (4 img + 1 mask + 4 depth = 9)."""
+        pipe = self._pipe("latents", None, 9)
+        image, mask, depth = _inputs()
+        kwargs = dict(prompt="m", image=image, mask=mask, depth=depth,
+                      num_inference_steps=2, seed=0,
+                      deterministic_vae_encode=True)
+        out1 = pipe(**kwargs)
+        out2 = pipe(**kwargs)
+        assert out1.shape == (1, H, W, 3) and out1.dtype == np.uint8
+        np.testing.assert_array_equal(out1, out2)
+        # the encoded depth plane must influence the result
+        other = pipe(**dict(kwargs, depth=1.0 - depth))
+        assert np.abs(out1.astype(int) - other.astype(int)).max() > 0
+
+    def test_normals_concat_mode(self):
+        """normals 'concat': latent-res normals join the cond stack
+        (4 + 1 + 1 depth + 3 normals = 9)."""
+        pipe = self._pipe("concat", "concat", 9)
+        image, mask, depth = _inputs()
+        normals = np.random.RandomState(3).rand(H, W, 3).astype(np.float32)
+        kwargs = dict(prompt="m", image=image, mask=mask, depth=depth,
+                      normals=normals, num_inference_steps=2, seed=0,
+                      deterministic_vae_encode=True)
+        out1 = pipe(**kwargs)
+        assert out1.shape == (1, H, W, 3)
+        other = pipe(**dict(kwargs, normals=1.0 - normals))
+        assert np.abs(out1.astype(int) - other.astype(int)).max() > 0
+        with pytest.raises(ValueError, match="normals"):
+            pipe(prompt="m", image=image, mask=mask, depth=depth,
+                 num_inference_steps=2, seed=0)
+
+    def test_normals_latents_mode(self):
+        """normals 'latents': VAE-encoded normals, the reference's
+        conditioning_channels=13 configuration (4 + 1 + 4 + 4)."""
+        pipe = self._pipe("latents", "latents", 13)
+        image, mask, depth = _inputs()
+        normals = np.random.RandomState(3).rand(H, W, 3).astype(np.float32)
+        out = pipe(prompt="m", image=image, mask=mask, depth=depth,
+                   normals=normals, num_inference_steps=2, seed=0,
+                   deterministic_vae_encode=True)
+        assert out.shape == (1, H, W, 3)
