@@ -325,26 +325,35 @@ class StableDiffusionXLBrushNetPipeline(StableDiffusionBrushNetPipeline):
             pooled = jnp.concatenate(
                 [jnp.repeat(h, num_images_per_prompt, axis=0) for h in phalves], 0)
 
-        from reflecting_reality_tpu.pipelines.image_processor import interpolate_nearest
-
         image_np = self.image_processor.preprocess(image, height, width)
         mask_np = self.image_processor.preprocess(mask, height, width)
         h, w = image_np.shape[1:3]
         mask_np = (mask_np.sum(-1, keepdims=True) < 0).astype(np.float32)
         hl, wl = h // self.vae_scale_factor, w // self.vae_scale_factor
 
-        if deterministic_vae_encode:
-            cond = self._encode_mode(self.vae_params, jnp.asarray(image_np))
-        else:
-            cond = self._encode_sample(self.vae_params, jnp.asarray(image_np), rng_vae)
-        cond = jnp.concatenate(
-            [cond, jnp.asarray(interpolate_nearest(mask_np, hl, wl)).astype(cond.dtype)], -1
-        )
+        # ONE packed host->device upload (image+depth+mask), device-side
+        # latent-res downsamples — same transfer policy as the SD-1.5
+        # pipeline (see brushnet_pipeline.__call__ step 3)
+        parts = [image_np]
         if self.depth_conditioning_mode == "concat":
-            d = interpolate_nearest(
-                self.image_processor.preprocess(depth, h, w)[..., :1], hl, wl
-            )
-            cond = jnp.concatenate([cond, jnp.asarray(d).astype(cond.dtype)], -1)
+            parts.append(self.image_processor.preprocess(depth, h, w)[..., :1])
+        parts.append(mask_np)
+        packed = jnp.asarray(np.concatenate(parts, axis=-1))
+        rows = (np.arange(hl) * h // hl).astype(np.int32)
+        cols = (np.arange(wl) * w // wl).astype(np.int32)
+
+        def down(a):  # interpolate_nearest's indices, applied on device
+            return a[:, rows][:, :, cols]
+
+        if deterministic_vae_encode:
+            cond = self._encode_mode(self.vae_params, packed[..., :3])
+        else:
+            cond = self._encode_sample(self.vae_params, packed[..., :3], rng_vae)
+        cond = jnp.concatenate(
+            [cond, down(packed[..., -1:]).astype(cond.dtype)], -1)
+        if self.depth_conditioning_mode == "concat":
+            cond = jnp.concatenate(
+                [cond, down(packed[..., 3:4]).astype(cond.dtype)], -1)
 
         batch = image_np.shape[0] * num_images_per_prompt
         if num_images_per_prompt > 1:
