@@ -272,11 +272,18 @@ class BatchingPipelineServer(PipelineServer):
 
         pipe = self.pipe
         n = len(batch)
+        nip = batch[0].parsed["num_images_per_prompt"]
         bucket = min(1 << (n - 1).bit_length(), self.max_batch)
+        if getattr(pipe, "_dp_mesh", None) is not None:
+            # data-parallel generation shards batch_size = bucket * nip over
+            # the mesh, so pad the bucket until it divides evenly
+            # (multi-chip serving: max_batch == k * mesh size)
+            mesh_n = pipe._dp_mesh[0].devices.size
+            while (bucket * nip) % mesh_n:
+                bucket += 1
         # pad with copies of the last request; padded outputs are dropped
         parsed = [r.parsed for r in batch] + [batch[-1].parsed] * (bucket - n)
         p0 = parsed[0]
-        nip = p0["num_images_per_prompt"]
 
         def stack(name):
             vals = [q[name] for q in parsed]
@@ -392,6 +399,12 @@ def build_pipeline(args):
         pipe.enable_encoder_reuse(args.encoder_reuse)
     if args.int8:
         pipe.enable_int8()
+    if args.data_parallel:
+        import jax
+
+        from reflecting_reality_tpu.parallel.mesh import make_mesh
+
+        pipe.enable_data_parallel(make_mesh(len(jax.devices())))
     return pipe
 
 
@@ -436,6 +449,10 @@ def build_parser():
     p.add_argument("--int8", action="store_true",
                    help="W8A8 quantized serving (approximate; ~1.44x the "
                         "exact denoise rate on v5e)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each batched call over all local chips "
+                        "(pair with --max_batch >= device count; buckets "
+                        "pad up to a mesh multiple)")
     p.add_argument("--max_batch", type=int, default=1,
                    help="micro-batching: drain up to N queued compatible "
                         "requests into one batched pipeline call (padded to "

@@ -336,3 +336,35 @@ class TestBatchingServer:
         finally:
             httpd.shutdown()
             server.close()
+
+    def test_data_parallel_micro_batching(self, tiny_pipe):
+        """DP generation + micro-batching: buckets pad up to a mesh
+        multiple so the sharded batch divides evenly; a solo request on a
+        2-device mesh still works (padded to 2) and matches the non-DP
+        output."""
+        from reflecting_reality_tpu.cli.serve import (
+            BatchingPipelineServer,
+            _Pending,
+            _parse_payload,
+        )
+        from reflecting_reality_tpu.parallel.mesh import make_mesh
+
+        solo = tiny_pipe(**_parse_payload(_distinct_payload(0), tiny_pipe, 2))
+
+        tiny_pipe.enable_data_parallel(make_mesh(2))
+        try:
+            srv = BatchingPipelineServer(tiny_pipe, default_steps=2, max_batch=4)
+            srv.close()
+            # 1 request -> bucket pads 1 -> 2 (mesh multiple)
+            req = _Pending(_parse_payload(_distinct_payload(0), tiny_pipe, 2))
+            srv._execute([req])
+            assert req.batch_size == 1 and len(req.images) == 1
+            diff = np.abs(solo[0].astype(np.int16) - req.images[0].astype(np.int16))
+            assert diff.max() <= 1, f"max diff {diff.max()}"
+            # 3 requests -> bucket 4 (already a mesh multiple)
+            reqs = [_Pending(_parse_payload(_distinct_payload(s), tiny_pipe, 2))
+                    for s in (0, 1, 2)]
+            srv._execute(reqs)
+            assert all(len(r.images) == 1 for r in reqs)
+        finally:
+            tiny_pipe.disable_data_parallel()
