@@ -97,6 +97,7 @@ class StableDiffusionBrushNetPipeline:
         self.dtype = dtype
         self.image_processor = ImageProcessor(vae_scale_factor=vae_scale_factor)
         self._jit_cache = {}
+        self._prompt_cache = {}  # (texts tuple) -> device embeds (see encode_prompt)
         self._vae_tiling = None  # (num_tiles, overlap) when enabled
         self._deep_cache = None  # interval when enabled (DeepCache)
         self._encoder_reuse = None  # interval when enabled (Faster Diffusion)
@@ -216,6 +217,7 @@ class StableDiffusionBrushNetPipeline:
         from reflecting_reality_tpu.core.io import cast_floating
 
         d = dtype or self.dtype
+        self._prompt_cache.clear()  # embeds derive from text_params
         self.unet_params = cast_floating(self.unet_params, d)
         self.brushnet_params = cast_floating(self.brushnet_params, d)
         if include_vae:
@@ -423,8 +425,18 @@ class StableDiffusionBrushNetPipeline:
             negatives = list(negative_prompt)
 
         def encode(texts):
-            ids = jnp.asarray(self.tokenizer(texts), dtype=jnp.int32)
-            return self._text_apply(self.text_params, ids)
+            # device-side memo: the CFG uncond batch ("" x B) repeats every
+            # call, and sweep/serving workloads repeat prompts — each hit
+            # saves a token upload + text-encoder dispatch.  ~240 KB per
+            # entry; cleared by cast_params.
+            key = tuple(texts)
+            out = self._prompt_cache.get(key)
+            if out is None:
+                ids = jnp.asarray(self.tokenizer(texts), dtype=jnp.int32)
+                out = self._text_apply(self.text_params, ids)
+                if len(self._prompt_cache) < 256:
+                    self._prompt_cache[key] = out
+            return out
 
         cond = encode(prompts)
         cond = jnp.repeat(cond, num_images_per_prompt, axis=0)

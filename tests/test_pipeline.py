@@ -427,3 +427,16 @@ class TestConditioningModes:
                    normals=normals, num_inference_steps=2, seed=0,
                    deterministic_vae_encode=True)
         assert out.shape == (1, H, W, 3)
+
+
+def test_prompt_embed_cache(pipe):
+    """encode_prompt memoizes per texts-tuple (the CFG uncond batch hits
+    every call); cached and fresh embeds are identical and distinct prompts
+    don't collide."""
+    pipe._prompt_cache.clear()
+    e1 = pipe.encode_prompt("a mirror", None, 1, True)
+    assert len(pipe._prompt_cache) == 2  # ("a mirror",) and ("",)
+    e2 = pipe.encode_prompt("a mirror", None, 1, True)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    e3 = pipe.encode_prompt("another prompt", None, 1, True)
+    assert np.abs(np.asarray(e1) - np.asarray(e3)).max() > 0
