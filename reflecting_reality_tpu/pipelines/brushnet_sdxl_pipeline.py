@@ -88,12 +88,21 @@ class StableDiffusionXLBrushNetPipeline(StableDiffusionBrushNetPipeline):
         )
 
         def encode(texts):
+            # device-side memo shared with the base pipeline's policy
+            # (see brushnet_pipeline.encode_prompt): repeated prompts and
+            # the CFG uncond batch skip both tokenizers + both encoders
+            key = ("xl", tuple(texts))
+            out = self._prompt_cache.get(key)
+            if out is not None:
+                return out
             ids1 = jnp.asarray(self.tokenizer(texts), jnp.int32)
             ids2 = jnp.asarray(self.tokenizer_2(texts), jnp.int32)
             _, h1 = self._text_apply_hidden(self.text_params, ids1)
             _, pooled, h2 = self._text2_apply_hidden(self.text_params_2, ids2)
             # penultimate hidden states (clip-skip fixed at 2 for SDXL)
             emb = jnp.concatenate([h1[-2], h2[-2]], axis=-1)
+            if len(self._prompt_cache) < 256:
+                self._prompt_cache[key] = (emb, pooled)
             return emb, pooled
 
         pos, pos_pool = encode(prompts)
