@@ -137,6 +137,10 @@ class PipelineServer:
         }
 
 
+class OverloadedError(RuntimeError):
+    """Raised when the pending-request queue is full (served as HTTP 503)."""
+
+
 class _Pending:
     """One queued /generate request: parsed kwargs + a completion event."""
 
@@ -172,13 +176,16 @@ class BatchingPipelineServer(PipelineServer):
     globally.
     """
 
-    def __init__(self, pipe, default_steps: int = 50, max_batch: int = 4):
+    def __init__(self, pipe, default_steps: int = 50, max_batch: int = 4,
+                 max_queue: Optional[int] = None):
         super().__init__(pipe, default_steps)
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self.max_batch = max_batch
+        self.max_queue = max_queue
         self.batches = 0
         self.batched_requests = 0
+        self.rejected = 0
         self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -191,6 +198,7 @@ class BatchingPipelineServer(PipelineServer):
                 self.batched_requests / max(1, self.batches), 3),
             "queue_depth": self._queue.qsize(),
             "max_batch": self.max_batch,
+            "rejected": self.rejected,
         }
 
     def close(self):
@@ -201,6 +209,11 @@ class BatchingPipelineServer(PipelineServer):
 
     def generate(self, payload: dict) -> dict:
         t0 = time.perf_counter()
+        if self.max_queue is not None and self._queue.qsize() >= self.max_queue:
+            # backpressure: shed load instead of growing unbounded latency
+            self.rejected += 1
+            raise OverloadedError(
+                f"queue full ({self.max_queue} pending); retry later")
         req = _Pending(_parse_payload(payload, self.pipe, self.default_steps))
         self._queue.put(req)
         req.event.wait()
@@ -361,6 +374,8 @@ def make_handler(server: PipelineServer):
                 if not isinstance(payload, dict):
                     raise ValueError("body must be a JSON object")
                 self._reply(200, server.generate(payload))
+            except OverloadedError as e:
+                self._reply(503, {"error": str(e)})
             except KeyError as e:
                 self._reply(400, {"error": f"missing field: {e}"})
             except (json.JSONDecodeError, ValueError, TypeError) as e:
@@ -458,6 +473,9 @@ def build_parser():
                         "requests into one batched pipeline call (padded to "
                         "power-of-2 buckets; ~12%% more images/s at bs4). "
                         "1 = serial single-request serving")
+    p.add_argument("--max_queue", type=int, default=None,
+                   help="backpressure: 503 new requests when this many are "
+                        "already pending (micro-batching mode only)")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--num_inference_steps", type=int, default=50)
@@ -480,7 +498,7 @@ def main(argv=None):
         # stays the serial resource behind the micro-batcher
         server = BatchingPipelineServer(
             pipe, default_steps=args.num_inference_steps,
-            max_batch=args.max_batch,
+            max_batch=args.max_batch, max_queue=args.max_queue,
         )
         server_cls = ThreadingHTTPServer
     else:

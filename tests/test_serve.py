@@ -368,3 +368,27 @@ class TestBatchingServer:
             assert all(len(r.images) == 1 for r in reqs)
         finally:
             tiny_pipe.disable_data_parallel()
+
+    def test_backpressure_503(self, tiny_pipe):
+        """max_queue sheds load with 503 instead of growing unbounded
+        latency; a request after the queue drains succeeds."""
+        from reflecting_reality_tpu.cli.serve import (
+            BatchingPipelineServer,
+            OverloadedError,
+            _Pending,
+            _parse_payload,
+        )
+
+        srv = BatchingPipelineServer(tiny_pipe, default_steps=2,
+                                     max_batch=2, max_queue=1)
+        srv.close()  # no worker: queued items stay pending
+        srv._queue.put(_Pending(_parse_payload(_distinct_payload(0),
+                                               tiny_pipe, 2)))
+        with pytest.raises(OverloadedError):
+            srv.generate(_distinct_payload(1))
+        assert srv.stats()["rejected"] == 1
+        # drain manually; the next admission check passes
+        first = srv._queue.get_nowait()
+        srv._execute([first])
+        assert len(first.images) == 1
+        assert srv._queue.qsize() == 0
