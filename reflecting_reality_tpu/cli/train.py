@@ -277,6 +277,7 @@ def main(argv=None):
         json.dump(vars(args), f, indent=2, default=str)
 
     custom_steps = set(args.custom_checkpoints or [])
+    async_saver = ckpt.AsyncCheckpointer() if args.async_save else None
     nan_steps = 0
     rng = jax.random.PRNGKey(args.seed or 0)
     step = int(jax.device_get(state.step))
@@ -324,11 +325,20 @@ def main(argv=None):
                     nan_steps = 0
 
             if step % args.checkpointing_steps == 0 or step in custom_steps:
-                path = ckpt.save_state(
-                    args.output_dir, step, state, brushnet_module, unet_module,
-                    total_limit=args.checkpoints_total_limit, keep=custom_steps,
-                )
-                logger.info("Saved %s", path)
+                if async_saver is not None:
+                    async_saver.save(
+                        args.output_dir, step, state, brushnet_module,
+                        unet_module,
+                        total_limit=args.checkpoints_total_limit,
+                        keep=custom_steps,
+                    )
+                    logger.info("Saving checkpoint-%d in background", step)
+                else:
+                    path = ckpt.save_state(
+                        args.output_dir, step, state, brushnet_module, unet_module,
+                        total_limit=args.checkpoints_total_limit, keep=custom_steps,
+                    )
+                    logger.info("Saved %s", path)
 
             if args.validation_steps and step % args.validation_steps == 0:
                 # No blanket try/except here: a broken validation path must
@@ -340,6 +350,8 @@ def main(argv=None):
             if step >= args.max_train_steps:
                 break
 
+    if async_saver is not None:
+        async_saver.wait()  # surface any background write error before exit
     ckpt.save_state(args.output_dir, step, state, brushnet_module, unet_module,
                     total_limit=None, keep=custom_steps)
     logger.info("Done at step %d", step)
@@ -507,6 +519,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_train_epochs", type=int, default=1)
     p.add_argument("--max_train_steps", type=int, default=20000)
     p.add_argument("--checkpointing_steps", type=int, default=500)
+    p.add_argument("--async_save", action="store_true",
+                   help="write periodic checkpoints from a background thread "
+                        "(device->host DMA enqueued async); the final "
+                        "checkpoint still saves synchronously")
     p.add_argument("--custom_checkpoints", type=int, nargs="+", default=None)
     p.add_argument("--checkpoints_total_limit", type=int, default=None)
     p.add_argument("--resume_from_checkpoint", type=str, default=None)

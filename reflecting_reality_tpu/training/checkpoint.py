@@ -97,6 +97,58 @@ def save_state(output_dir: str, step: int, state, brushnet_module, unet_module,
     return path
 
 
+class AsyncCheckpointer:
+    """Overlap checkpoint IO with training (opt-in, --async_save).
+
+    save() enqueues the device->host DMA for every array in the state
+    (`copy_to_host_async`), snapshots the state to host memory (blocking
+    only on the already-in-flight transfers — required because the jitted
+    train step DONATES the state buffers, so they are gone after the next
+    step), then hands the expensive part — torch-layout serialization +
+    safetensors/msgpack file writes — to a background thread.  At most one
+    save is in flight: a new save() (or wait()) joins the previous one
+    first, and any exception from the background write re-raises there —
+    call wait() after the loop so the final checkpoint is durable before
+    exit.  No reference analogue (accelerate's save_state blocks,
+    train_brushnet_mirror.py:1473-1498); the folder layout is identical.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._threading = threading
+        self._thread = None
+        self._error = None
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def save(self, output_dir: str, step: int, state, brushnet_module,
+             unet_module, total_limit: Optional[int] = None,
+             keep: Iterable[int] = ()) -> None:
+        self.wait()
+        for leaf in jax.tree_util.tree_leaves(state):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        host_state = jax.device_get(state)  # blocks on the queued DMA only
+        keep = tuple(keep)
+
+        def run():
+            try:
+                save_state(output_dir, step, host_state, brushnet_module,
+                           unet_module, total_limit=total_limit, keep=keep)
+            except BaseException as e:  # re-raised by the next wait()/save()
+                self._error = e
+
+        self._thread = self._threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+
 def _load_params(path: str, subfolder: str) -> dict:
     from reflecting_reality_tpu.core.io import WEIGHTS_NAME, load_safetensors, torch_to_flax_params
 

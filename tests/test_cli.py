@@ -341,3 +341,37 @@ def test_nonfinite_loss_guard(tmp_path):
         out, ckpts[0], "brushnet", "diffusion_pytorch_model.safetensors"))
     for k, v in w.items():
         assert np.isfinite(np.asarray(v, np.float32)).all(), k
+
+
+@pytest.mark.integration
+def test_async_save_journey(env, tmp_path):
+    """--async_save: background checkpoint writes produce the same layout
+    and the run's final synchronous save is durable."""
+    base, data = env
+
+    from reflecting_reality_tpu.cli import train as train_cli
+
+    out = str(tmp_path / "run_async")
+    train_cli.main([
+        "--pretrained_model_name_or_path", base,
+        "--train_data_dir", data,
+        "--output_dir", out,
+        "--resolution", "64",
+        "--train_batch_size", "1",
+        "--max_train_steps", "2",
+        "--checkpointing_steps", "1",
+        "--learning_rate", "1e-4",
+        "--lr_warmup_steps", "0",
+        "--depth_conditioning_mode", "concat",
+        "--report_to", "none",
+        "--logging_dir", os.path.join(out, "logs"),
+        "--validation_steps", "0",
+        "--seed", "0",
+        "--async_save",
+    ])
+    for step in (1, 2):
+        ckpt = os.path.join(out, f"checkpoint-{step}")
+        assert os.path.exists(
+            os.path.join(ckpt, "brushnet", "diffusion_pytorch_model.safetensors")
+        )
+        assert os.path.exists(os.path.join(ckpt, "train_state.msgpack"))

@@ -286,3 +286,57 @@ class TestLatentCache:
         assert ex["masks"].shape == (8, 8, 1)
         assert ex["depths"].shape == (8, 8, 1)
         assert ex["input_ids"].shape == (77,)
+
+
+class TestAsyncCheckpointer:
+    def test_background_save_matches_sync(self, tmp_path):
+        """AsyncCheckpointer writes the same checkpoint-N layout as the
+        blocking save_state; wait() makes it durable."""
+        from reflecting_reality_tpu.training import checkpoint as ckpt
+
+        step_fn, state = build()
+        unet = UNet2DConditionModel(sample_size=2, **CFG)
+        brushnet = BrushNetModel(conditioning_channels=6, **BCFG)
+
+        sync_dir, async_dir = str(tmp_path / "sync"), str(tmp_path / "async")
+        ckpt.save_state(sync_dir, 1, state, brushnet, unet)
+
+        saver = ckpt.AsyncCheckpointer()
+        saver.save(async_dir, 1, state, brushnet, unet)
+        saver.wait()
+
+        import os
+
+        from reflecting_reality_tpu.core.io import load_safetensors
+
+        rel = os.path.join("checkpoint-1", "brushnet",
+                           "diffusion_pytorch_model.safetensors")
+        a = load_safetensors(os.path.join(sync_dir, rel))
+        b = load_safetensors(os.path.join(async_dir, rel))
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+        # resume from the async checkpoint round-trips the step counter
+        restored = ckpt.load_state(
+            os.path.join(async_dir, "checkpoint-1"), state)
+        assert int(jax.device_get(restored.step)) == int(jax.device_get(state.step))
+
+    def test_background_error_surfaces_on_wait(self, tmp_path):
+        """A failing background write re-raises at the next wait()/save()
+        instead of disappearing."""
+        from reflecting_reality_tpu.training import checkpoint as ckpt
+
+        step_fn, state = build()
+        unet = UNet2DConditionModel(sample_size=2, **CFG)
+        brushnet = BrushNetModel(conditioning_channels=6, **BCFG)
+
+        import os
+
+        target = str(tmp_path / "file_not_dir")
+        with open(target, "w") as f:
+            f.write("x")  # save under a file path -> NotADirectoryError
+        saver = ckpt.AsyncCheckpointer()
+        saver.save(os.path.join(target, "sub"), 1, state, brushnet, unet)
+        with pytest.raises(OSError):
+            saver.wait()
+        saver.wait()  # error is consumed; subsequent waits are clean
