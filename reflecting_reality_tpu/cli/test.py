@@ -85,6 +85,17 @@ def run_inference(args, brushnet_path: str, output_dir: str, test_df) -> None:
     import jax.numpy as jnp
 
     dtype = {"fp32": jnp.float32, "fp16": jnp.float32, "bf16": jnp.bfloat16}[args.weight_dtype]
+    if args.use_ema:
+        # evaluate the EMA shadow weights (checkpoint-N/ema/*, written by
+        # train.py --use_ema; rebuild extra — the reference keeps EMA only
+        # in accelerate's opaque state and cannot test it directly)
+        d = brushnet_path.rstrip("/")
+        if os.path.basename(d) == "brushnet":
+            d = os.path.dirname(d)
+        ema_path = os.path.join(d, "ema", "brushnet")
+        if not os.path.isdir(ema_path):
+            raise SystemExit(f"--use_ema: no EMA weights at {ema_path}")
+        brushnet_path = ema_path
     unet_path = None
     maybe_unet = os.path.join(os.path.dirname(brushnet_path.rstrip("/")), "unet")
     if os.path.basename(brushnet_path.rstrip("/")) == "brushnet" and os.path.isdir(maybe_unet):
@@ -374,6 +385,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--encoder_reuse", type=int, default=None,
                    help="encoder-reuse interval (approximation mode; "
                         "mutually exclusive with --deep_cache)")
+    p.add_argument("--use_ema", action="store_true",
+                   help="load the EMA shadow weights (checkpoint-N/ema/) "
+                        "instead of the raw trained weights")
     p.add_argument("--batch_seeds", action="store_true",
                    help="generate all seeds in one batched pipeline call "
                         "(~20%% faster per image at batch 4-8; independent "

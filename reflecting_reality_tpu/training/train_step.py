@@ -234,8 +234,11 @@ def make_train_step(unet, brushnet, vae, text_encoder, config: TrainConfig,
             trainable=trainable,
             frozen=frozen,
             opt_state=tx.init(trainable),
+            # jnp.array (copy=True), NOT asarray: with fp32 EMA, asarray
+            # aliases the trainable leaves, and the CLI's donate_argnums=(0,)
+            # step then donates the same buffer twice (crash at step 1)
             ema=(jax.tree_util.tree_map(
-                lambda p: jnp.asarray(
+                lambda p: jnp.array(
                     p, jnp.bfloat16 if config.ema_dtype == "bf16" else None),
                 trainable) if config.use_ema else None),
         )

@@ -375,3 +375,58 @@ def test_async_save_journey(env, tmp_path):
             os.path.join(ckpt, "brushnet", "diffusion_pytorch_model.safetensors")
         )
         assert os.path.exists(os.path.join(ckpt, "train_state.msgpack"))
+
+
+@pytest.mark.integration
+def test_use_ema_inference_journey(env, tmp_path):
+    """--use_ema on the tester loads checkpoint-N/ema/brushnet (written by
+    train --use_ema) and produces different images than the raw weights."""
+    base, data = env
+
+    from reflecting_reality_tpu.cli import test as test_cli
+    from reflecting_reality_tpu.cli import train as train_cli
+
+    out = str(tmp_path / "run_ema")
+    train_cli.main([
+        "--pretrained_model_name_or_path", base,
+        "--train_data_dir", data,
+        "--output_dir", out,
+        "--resolution", "64",
+        "--train_batch_size", "1",
+        "--max_train_steps", "2",
+        "--checkpointing_steps", "2",
+        "--learning_rate", "1e-1",  # big LR so raw != EMA visibly
+        "--lr_warmup_steps", "0",
+        "--depth_conditioning_mode", "concat",
+        "--report_to", "none",
+        "--logging_dir", os.path.join(out, "logs"),
+        "--validation_steps", "0",
+        "--seed", "0",
+        "--use_ema",
+    ])
+    ckpt = os.path.join(out, "checkpoint-2")
+    assert os.path.isdir(os.path.join(ckpt, "ema", "brushnet"))
+
+    common = [
+        "--brushnet_path", ckpt,
+        "--base_model_path", base,
+        "--train_data_dir", data,
+        "--resolution", "64",
+        "--num_inference_steps", "2",
+        "--num_images_per_validation", "1",
+        "--depth_conditioning_mode", "concat",
+        "--num_samples", "1",
+        "--seed", "0",
+    ]
+    raw_dir = str(tmp_path / "infer_raw")
+    ema_dir = str(tmp_path / "infer_ema")
+    test_cli.main(common + ["--output_dir", raw_dir])
+    test_cli.main(common + ["--output_dir", ema_dir, "--use_ema"])
+
+    import numpy as np
+    from PIL import Image
+
+    raw_png, = os.listdir(raw_dir)
+    a = np.asarray(Image.open(os.path.join(raw_dir, raw_png)), np.int16)
+    b = np.asarray(Image.open(os.path.join(ema_dir, raw_png)), np.int16)
+    assert np.abs(a - b).max() > 0
