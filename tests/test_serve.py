@@ -392,3 +392,22 @@ class TestBatchingServer:
         srv._execute([first])
         assert len(first.images) == 1
         assert srv._queue.qsize() == 0
+
+
+def test_dispatch_per_step_payload(served):
+    """payload dispatch='per_step' routes through the chunked-segment path
+    and matches the scan output (segment==scan parity is golden-pinned in
+    the pipeline tests; this pins the serving plumbing)."""
+    scan_status, scan_body = _post(served + "/generate", _payload())
+    p = dict(_payload(), dispatch="per_step")
+    ps_status, ps_body = _post(served + "/generate", p)
+    assert scan_status == 200 and ps_status == 200, (scan_body, ps_body)
+
+    def pixels(b64png):
+        from PIL import Image
+
+        return np.asarray(
+            Image.open(io.BytesIO(base64.b64decode(b64png)))).astype(np.int16)
+
+    diff = np.abs(pixels(scan_body["images"][0]) - pixels(ps_body["images"][0]))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
