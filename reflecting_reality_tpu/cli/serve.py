@@ -432,7 +432,8 @@ def build_pipeline(args):
 
 def warmup(server: PipelineServer, resolution: int, steps: int, depth: bool,
            normals_mode: Optional[str] = None):
-    """Compile the (resolution, steps) program before accepting traffic.
+    """Compile the (resolution, steps) programs before accepting traffic —
+    the solo call plus, under micro-batching, the full max_batch bucket.
     ndarrays pass straight through _decode_image's array branch."""
     logger.info("warmup: compiling %dx%d @ %d steps", resolution, resolution, steps)
     t0 = time.perf_counter()
@@ -449,6 +450,13 @@ def warmup(server: PipelineServer, resolution: int, steps: int, depth: bool,
     elif normals_mode == "ip_adapter":
         payload["normals"] = np.array([[0.0, 0.0, 1.0]], np.float32)
     server.generate(payload)
+    if getattr(server, "max_batch", 1) > 1:
+        # compile the full max_batch bucket so the first real batch runs
+        # warm (driving _execute directly guarantees the bucket size;
+        # queue-raced warmup requests might batch smaller)
+        reqs = [_Pending(_parse_payload(dict(payload), server.pipe, steps))
+                for _ in range(server.max_batch)]
+        server._execute(reqs)
     logger.info("warmup done in %.1fs", time.perf_counter() - t0)
 
 

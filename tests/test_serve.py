@@ -411,3 +411,17 @@ def test_dispatch_per_step_payload(served):
 
     diff = np.abs(pixels(scan_body["images"][0]) - pixels(ps_body["images"][0]))
     assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_warmup_compiles_batch_bucket(tiny_pipe):
+    """warmup() on a batching server pre-compiles both the solo program and
+    the full max_batch bucket."""
+    from reflecting_reality_tpu.cli.serve import BatchingPipelineServer, warmup
+
+    srv = BatchingPipelineServer(tiny_pipe, default_steps=2, max_batch=2)
+    try:
+        warmup(srv, H, 2, depth=True)
+        assert srv.requests == 1          # the solo warmup request
+        assert srv.batched_requests >= 2  # plus the full-bucket _execute
+    finally:
+        srv.close()
