@@ -25,7 +25,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from reflecting_reality_tpu.core.jit_cache import enable_default_compilation_cache
 from reflecting_reality_tpu.ops.attention import set_attention_backend
+
+enable_default_compilation_cache()
 from reflecting_reality_tpu.models.brushnet import BrushNetModel
 from reflecting_reality_tpu.models.unet2d import UNet2DConditionModel
 from reflecting_reality_tpu.schedulers.unipc import UniPCSampler

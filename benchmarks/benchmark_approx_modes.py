@@ -24,6 +24,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from reflecting_reality_tpu.core.jit_cache import enable_default_compilation_cache
+
+enable_default_compilation_cache()
+
 from reflecting_reality_tpu.ops.attention import set_attention_backend
 from reflecting_reality_tpu.ops.embeddings import precompute_time_embeddings
 from reflecting_reality_tpu.schedulers.common import NoiseSchedule

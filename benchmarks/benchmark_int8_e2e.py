@@ -21,6 +21,10 @@ import flax.linen as nn
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from reflecting_reality_tpu.core.jit_cache import enable_default_compilation_cache
+
+enable_default_compilation_cache()
+
 import bench
 from reflecting_reality_tpu.ops.quant import int8_interceptor, quantize_params
 

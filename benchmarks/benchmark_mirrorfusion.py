@@ -23,6 +23,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from reflecting_reality_tpu.core.jit_cache import enable_default_compilation_cache
+
+enable_default_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

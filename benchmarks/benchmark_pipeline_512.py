@@ -21,6 +21,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from reflecting_reality_tpu.core.jit_cache import enable_default_compilation_cache
+
+enable_default_compilation_cache()
+
 from reflecting_reality_tpu.data.tokenizer import HashTokenizer
 from reflecting_reality_tpu.models.brushnet import BrushNetModel
 from reflecting_reality_tpu.models.clip_text import CLIPTextModel

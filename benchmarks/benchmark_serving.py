@@ -33,6 +33,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from reflecting_reality_tpu.core.jit_cache import enable_default_compilation_cache
+
+enable_default_compilation_cache()
+
 from benchmark_pipeline_512 import build_pipe
 from reflecting_reality_tpu.cli.serve import (
     BatchingPipelineServer,
