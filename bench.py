@@ -110,15 +110,16 @@ def make_denoise(unet, brushnet, steps, batch=1, dtype=jnp.bfloat16):
 
 
 def timed(fn, args, reps=3):
+    """Warm, then return the per-rep wall times (list of len reps)."""
     r = fn(*args)
     np.asarray(r)  # sync through the relay
-    best = float("inf")
+    times = []
     for _ in range(reps):
         t0 = time.time()
         r = fn(*args)
         np.asarray(r)
-        best = min(best, time.time() - t0)
-    return best
+        times.append(time.time() - t0)
+    return times
 
 
 def main():
@@ -135,16 +136,22 @@ def main():
     n1, n2 = 10, 50
     f1 = make_denoise(unet, brushnet, n1, batch, dtype)
     f2 = make_denoise(unet, brushnet, n2, batch, dtype)
-    t1 = timed(f1, (uparams, bparams, latents, cond, embeds))
-    t2 = timed(f2, (uparams, bparams, latents, cond, embeds))
-    per_step = (t2 - t1) / (n2 - n1)
-    steps_per_s = 1.0 / per_step
+    # Variance discipline: three independent two-point estimates, pairing the
+    # i-th rep of each program, so round-over-round deltas can be judged
+    # against the measured spread instead of single-shot jitter.
+    t1s = timed(f1, (uparams, bparams, latents, cond, embeds))
+    t2s = timed(f2, (uparams, bparams, latents, cond, embeds))
+    ests = [1.0 / ((b - a) / (n2 - n1)) for a, b in zip(t1s, t2s)]
+    steps_per_s = max(ests)  # min-of-3 time == best steps/s
+    spread = (max(ests) - min(ests)) / min(ests)
 
     print(json.dumps({
         "metric": "mirrorfusion_512_denoise_steps_per_sec_per_chip",
         "value": round(steps_per_s, 3),
         "unit": "steps/s (CFG batch, bs=1 image)",
         "vs_baseline": round(steps_per_s / A100_BASELINE_STEPS_PER_S, 3),
+        "runs": [round(e, 3) for e in ests],
+        "spread_frac": round(spread, 4),
     }))
 
 

@@ -76,7 +76,10 @@ def main():
         print(f"scan:                 warm {warm:.2f}s (cold {cold:.0f}s)", flush=True)
         for chunk in (steps, steps // 2, 4, 2):
             cold, warm = run(pipe, steps, "per_step", chunk)
-            nd = -(-steps // (chunk - chunk % 2 if mode != "exact" else chunk))
+            # mirror the pipeline's chunk clamp (brushnet_pipeline.py: cached
+            # modes round chunks down to a multiple of the interval, min 2)
+            eff = chunk if mode == "exact" else max(2, chunk - chunk % 2)
+            nd = -(-steps // eff)
             print(f"per_step chunk={chunk:3d}: warm {warm:.2f}s (cold {cold:.0f}s, ~{nd} dispatches)",
                   flush=True)
 

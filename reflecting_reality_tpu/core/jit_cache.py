@@ -36,10 +36,13 @@ def enable_default_compilation_cache() -> str:
     with RRTPU_COMPILE_CACHE; the CLIs keep their explicit
     `--compilation_cache_dir` flag semantics.
     """
-    cache_dir = os.environ.get(
-        "RRTPU_COMPILE_CACHE",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".jax_cache"),
+    cache_dir = (
+        os.environ.get("RRTPU_COMPILE_CACHE")
+        # a user-set JAX_COMPILATION_CACHE_DIR must win over the repo-local
+        # default (jax.config.update would otherwise override the env var)
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
     )
     enable_compilation_cache(cache_dir)
     return cache_dir
