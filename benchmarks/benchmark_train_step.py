@@ -126,31 +126,54 @@ def main():
         np.asarray(jax.tree_util.tree_leaves(state.trainable)[0])
         return state
 
-    # exact per-step FLOPs from XLA's own cost model.
-    # MFU uses MODEL flops (no-remat lowering — lowering never executes, so
-    # it cannot OOM); HFU uses the as-compiled program incl. remat recompute.
-    V5E_PEAK_FLOPS = 197e12
+    # Per-step FLOPs for MFU/HFU.  XLA's cost_analysis of the ACTUAL-batch
+    # program proved unreliable across batch sizes (the bs=8 lowering once
+    # reported 2.73x the bs=4 flops and a >100% "MFU").  Per-SAMPLE flops is
+    # batch-invariant by definition, so derive it from small-batch lowerings
+    # and require linearity: per_sample = flops(bs=2)/2, checked against
+    # flops(bs=1) within 10%.  MFU uses MODEL flops (no-remat program — the
+    # algorithmic work); HFU uses the as-compiled config incl. remat
+    # recompute, derived the same batch-invariant way.
+    V5E_PEAK_FLOPS = 197e12  # v5e bf16 peak per chip
 
-    def _flops_of(fn):
+    def _small_batch(nb):
+        sb = {k: v[:nb] for k, v in batch.items()}
+        sb_state = state  # params/opt state are batch-independent
+        return sb_state, sb
+
+    def _flops_of(fn, nb):
         try:
-            ca = jax.jit(fn).lower(state, batch, jax.random.PRNGKey(0)
+            st, sb = _small_batch(nb)
+            ca = jax.jit(fn).lower(st, sb, jax.random.PRNGKey(0)
                                    ).compile().cost_analysis()
             ca = ca[0] if isinstance(ca, (list, tuple)) else ca
             return float(ca.get("flops", 0.0)) or None
         except Exception as e:  # cost model availability varies per backend
-            print(f"cost_analysis unavailable: {e}", flush=True)
+            print(f"cost_analysis unavailable (bs={nb}): {e}", flush=True)
             return None
 
-    hw_flops = _flops_of(step_fn)
-    model_flops = hw_flops
-    if args.remat and hw_flops:
-        no_remat_cfg = TrainConfig(
-            learning_rate=1e-5, depth_conditioning_mode="concat",
-            gradient_checkpointing=False,
-        )
-        nr_step, _ = make_train_step(unet, brushnet, vae, text, no_remat_cfg,
-                                     dtype=dtype)
-        model_flops = _flops_of(nr_step) or hw_flops
+    def _per_sample(fn, label):
+        f1, f2 = _flops_of(fn, 1), _flops_of(fn, 2)
+        if not (f1 and f2):
+            return None
+        ratio = f2 / f1
+        if not 1.8 <= ratio <= 2.2:
+            raise AssertionError(
+                f"{label} flops not batch-linear: bs1={f1:.3e} bs2={f2:.3e} "
+                f"(ratio {ratio:.2f}); refusing to publish an MFU from an "
+                "inconsistent cost model")
+        return f2 / 2.0
+
+    no_remat_cfg = TrainConfig(
+        learning_rate=1e-5, depth_conditioning_mode="concat",
+        gradient_checkpointing=False,
+    )
+    nr_step, _ = make_train_step(unet, brushnet, vae, text, no_remat_cfg,
+                                 dtype=dtype)
+    ps_model = _per_sample(nr_step, "model (no-remat)")
+    ps_hw = _per_sample(step_fn, "hardware (as-configured)") if args.remat else ps_model
+    model_flops = ps_model * b if ps_model else None
+    hw_flops = ps_hw * b if ps_hw else None
 
     n1, n2 = 3, 13
     f1, f2 = chain(n1), chain(n2)
@@ -170,9 +193,15 @@ def main():
             + (" cached-latents" if args.cached_latents else ""))
     if model_flops:
         mfu = model_flops * sps / V5E_PEAK_FLOPS
-        note += f" flops/step={model_flops:.3e} MFU={mfu:.1%}"
+        hfu = (hw_flops or model_flops) * sps / V5E_PEAK_FLOPS
+        if mfu > 1.0 or hfu > 1.0:
+            raise AssertionError(
+                f"impossible utilization MFU={mfu:.1%} HFU={hfu:.1%} "
+                f"(peak {V5E_PEAK_FLOPS/1e12:.0f} TF/s bf16): either the "
+                "flops accounting or the timing is wrong; not publishing")
+        note += f" flops/step={model_flops:.3e} MFU={mfu:.1%} (peak 197TF bf16)"
         if hw_flops and hw_flops != model_flops:
-            note += f" HFU={hw_flops * sps / V5E_PEAK_FLOPS:.1%}"
+            note += f" HFU={hfu:.1%}"
     print(f"{sps:.2f} train steps/s ({b * sps:.2f} samples/s) — {note}", flush=True)
     with open(args.out, "a", newline="") as f:
         csv.writer(f).writerow(
