@@ -1,0 +1,89 @@
+#!/bin/bash
+# Real end-to-end training run on one TPU chip (VERDICT r2 task 1; reference
+# recipe: MirrorFusion/README.md + slurm/train.sh:23-41, scaled to the
+# hardware and data actually present: a synthetic full-resolution SynMirror
+# shard + random-init SD-1.5-shaped weights, tools/make_synthetic_fullscale).
+#
+# Phases:
+#   1. fixture: SD-1.5-shaped checkpoint + 64-sample 512x512 SynMirror shard
+#   2. train 400 steps (bs=8, remat, EMA, async save, snr-gamma 5, bf16)
+#   3. resume from checkpoint-latest, +50 steps (exact-resume proof)
+#   4. cli/test.py --use_ema generation from the produced checkpoint
+#
+# Usage: bash launchers/train_tpu_e2e.sh [WORKDIR]
+set -euo pipefail
+
+WORK=${1:-/tmp/rr_e2e}
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+cd "$REPO"
+RUN="$WORK/run"
+LOG="$WORK/logs"
+mkdir -p "$WORK" "$LOG"
+
+if [ ! -f "$WORK/sd15/unet/config.json" ]; then
+  echo "== fixture: checkpoint + data =="
+  python -m reflecting_reality_tpu.tools.make_synthetic_fullscale \
+      --out "$WORK" --n 64 --size 512
+fi
+
+TRAIN_FLAGS=(
+  --pretrained_model_name_or_path "$WORK/sd15"
+  --train_data_dir "$WORK/data"
+  --output_dir "$RUN"
+  --logging_dir "$LOG"
+  --report_to jsonl
+  --resolution 512
+  --train_batch_size 8
+  --learning_rate 1e-4
+  --lr_scheduler constant
+  --lr_warmup_steps 0
+  --snr_gamma 5.0
+  --mixed_precision bf16
+  --gradient_checkpointing
+  --depth_conditioning_mode concat
+  --use_ema --ema_dtype bf16
+  --async_save
+  --checkpointing_steps 200
+  --validation_steps 0
+  --log_every 10
+  --seed 0
+  --dataloader_num_workers 4
+  --proportion_empty_prompts 0.2
+  --compilation_cache_dir "$REPO/.jax_cache"
+)
+
+echo "== train: 400 steps =="
+python -m reflecting_reality_tpu.cli.train "${TRAIN_FLAGS[@]}" \
+    --max_train_steps 400 2>&1 | tee "$LOG/train_400.log"
+
+echo "== resume: +50 steps =="
+python -m reflecting_reality_tpu.cli.train "${TRAIN_FLAGS[@]}" \
+    --max_train_steps 450 --resume_from_checkpoint latest \
+    2>&1 | tee "$LOG/train_resume.log"
+
+echo "== generate: cli/test.py --use_ema from checkpoint-450 =="
+python -m reflecting_reality_tpu.cli.test \
+    --brushnet_path "$RUN/checkpoint-450" \
+    --base_model_path "$WORK/sd15" \
+    --train_data_dir "$WORK/data" \
+    --output_dir "$RUN/inference_ema" \
+    --depth_conditioning_mode concat \
+    --use_ema --num_samples 2 --num_images_per_validation 2 \
+    --num_inference_steps 20 --resolution 512 --weight_dtype bf16 \
+    --compilation_cache_dir "$REPO/.jax_cache" \
+    2>&1 | tee "$LOG/test_ema.log"
+
+echo "== loss curve summary =="
+python - "$LOG/metrics.jsonl" <<'EOF'
+import json, sys
+rows = [json.loads(l) for l in open(sys.argv[1]) if '"loss"' in l]
+losses = [(r["step"], r["loss"]) for r in rows if "loss" in r]
+sps = [r["steps_per_sec"] for r in rows if "steps_per_sec" in r]
+first = sum(l for _, l in losses[:5]) / 5
+last = sum(l for _, l in losses[-5:]) / 5
+print(f"logged points: {len(losses)}  first5 loss={first:.4f}  "
+      f"last5 loss={last:.4f}  ratio={last/first:.3f}")
+print(f"steady steps/s: {sorted(sps)[len(sps)//2]:.2f} (median of {len(sps)})")
+assert last < first, "loss did not decrease over the run"
+EOF
+echo "E2E RUN OK"
