@@ -33,7 +33,10 @@ TRAIN_FLAGS=(
   --logging_dir "$LOG"
   --report_to jsonl
   --resolution 512
-  --train_batch_size 8
+  # bs=8 + EMA OOMs: 18.32G total (10.4G state incl. bf16 EMA + 7.92G
+  # program) vs 15.75G HBM — the benchmark's bs=8 row carries no EMA.
+  # bs=4 + EMA fits and is the best samples/s EMA config on one chip.
+  --train_batch_size 4
   --learning_rate 1e-4
   --lr_scheduler constant
   --lr_warmup_steps 0

@@ -103,7 +103,10 @@ def load_models(args, dtype):
         sample = np.zeros((1, 8, 8, 4), np.float32)
         t0 = np.zeros((1,), np.int32)
         ehs0 = np.zeros((1, 77 + 1, unet_module.cross_attention_dim), np.float32)
-        fresh = jax.jit(unet_module.init)(jax.random.PRNGKey(0), sample, t0, ehs0)
+        # init on host CPU: the values are grafted/device_get immediately, and
+        # a full-scale init compile on the remote TPU helper costs minutes
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            fresh = jax.jit(unet_module.init)(jax.random.PRNGKey(0), sample, t0, ehs0)
         unet_params = {"params": init_ip_params_from_unet(
             jax.device_get(fresh)["params"], unet_params["params"]
         )}
@@ -126,9 +129,12 @@ def load_models(args, dtype):
         t = np.zeros((1,), np.int32)
         ehs = np.zeros((1, 77, unet_module.cross_attention_dim), np.float32)
         cond = np.zeros((1, 8, 8, cond_ch), np.float32)
-        brushnet_params = jax.jit(brushnet_module.init)(
-            jax.random.PRNGKey(args.seed or 0), sample, t, ehs, cond
-        )
+        # init on host CPU (values feed straight into the host-side surgery;
+        # a TPU-side init is a wasted remote compile + transfer)
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            brushnet_params = jax.jit(brushnet_module.init)(
+                jax.random.PRNGKey(args.seed or 0), sample, t, ehs, cond
+            )
         brushnet_params = {
             "params": init_params_from_unet(
                 jax.device_get(brushnet_params)["params"], unet_params["params"]
@@ -167,9 +173,12 @@ def main(argv=None):
         args.mixed_precision
     ]
 
+    t_load = time.time()
+    logger.info("Loading models from %s ...", args.pretrained_model_name_or_path)
     (unet_module, unet_params), brushnet_module, brushnet_params, vae, text, tokenizer, normal_proj = (
         load_models(args, dtype)
     )
+    logger.info("Models loaded in %.1fs", time.time() - t_load)
 
     # dataset
     df = pd.read_csv(os.path.join(args.train_data_dir, args.train_csv))
@@ -280,7 +289,7 @@ def main(argv=None):
     async_saver = ckpt.AsyncCheckpointer() if args.async_save else None
     nan_steps = 0
     rng = jax.random.PRNGKey(args.seed or 0)
-    step = int(jax.device_get(state.step))
+    step = first_step = int(jax.device_get(state.step))
     t0 = time.time()
     logger.info("Training: %d devices, global batch %d, start step %d",
                 n_dev, global_batch, step)
@@ -293,6 +302,8 @@ def main(argv=None):
     while step < args.max_train_steps:
         for batch in prefetch_to_device(iter(loader), mesh):
             rng, step_rng = jax.random.split(rng)
+            if step == first_step:
+                logger.info("Compiling train step (first dispatch) ...")
             state, metrics = step_fn(state, batch, step_rng)
             step += 1
 

@@ -41,11 +41,20 @@ import pytest  # noqa: E402
 
 
 def pytest_collection_modifyitems(config, items):
-    # slow = full-scale (real SD-1.5 config, GB-sized) harnesses: opt-in via
-    # RR_RUN_SLOW=1 so the default suite stays within its time budget.
-    if os.environ.get("RR_RUN_SLOW"):
-        return
-    skip = pytest.mark.skip(reason="slow full-scale test; set RR_RUN_SLOW=1")
+    # Three tiers (VERDICT r2 item 7 — default suite must stay within a
+    # ~10-min budget on a 1-vCPU box):
+    #   default          — unit/golden math, <10 min
+    #   RR_RUN_MEDIUM=1  — heavy jit-compile matrices (pipeline/SDXL/serve/
+    #                      deepcache journeys); the pre-gate 46-min remainder
+    #   RR_RUN_SLOW=1    — full-scale (real SD-1.5 config, GB-sized) harnesses
+    # RR_RUN_SLOW implies medium.
+    run_slow = bool(os.environ.get("RR_RUN_SLOW"))
+    run_medium = run_slow or bool(os.environ.get("RR_RUN_MEDIUM"))
+    skip_slow = pytest.mark.skip(reason="slow full-scale test; set RR_RUN_SLOW=1")
+    skip_medium = pytest.mark.skip(
+        reason="heavy compile-matrix test; set RR_RUN_MEDIUM=1")
     for item in items:
-        if "slow" in item.keywords:
-            item.add_marker(skip)
+        if not run_slow and "slow" in item.keywords:
+            item.add_marker(skip_slow)
+        elif not run_medium and "medium" in item.keywords:
+            item.add_marker(skip_medium)
