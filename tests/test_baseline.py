@@ -48,6 +48,7 @@ def baseline_setup():
     return unet, uparams, vae, vparams, text, tparams
 
 
+@pytest.mark.medium
 def test_train_step(baseline_setup):
     unet, uparams, vae, vparams, text, tparams = baseline_setup
     config = TrainConfig(learning_rate=1e-3, lr_warmup_steps=0,
@@ -62,6 +63,7 @@ def test_train_step(baseline_setup):
 
 
 @pytest.mark.integration
+@pytest.mark.medium
 def test_baseline_cli_journey(tmp_path):
     """The full baseline reproduction path (reference pairing:
     train_sdinpainting.py -> test_sdinpainting.py -> evaluate_metrics.py):

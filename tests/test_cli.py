@@ -25,6 +25,7 @@ def env(tmp_path_factory):
 
 @pytest.mark.integration
 class TestCLIJourney:
+    @pytest.mark.medium
     def test_train_checkpoint_resume_infer(self, env, tmp_path):
         base, data = env
         out = str(tmp_path / "run")
@@ -111,6 +112,7 @@ class TestCLIJourney:
         for s in sheets:
             assert os.path.getmtime(os.path.join(infer_out, s)) == mtimes[s]
 
+    @pytest.mark.medium
     def test_ip_adapter_journey(self, env, tmp_path):
         """Train -> checkpoint -> infer in normals ip_adapter mode: the
         validation path projects the mean mirror normal, the checkpoint
@@ -174,6 +176,7 @@ class TestCLIJourney:
         ])
         assert len(os.listdir(infer_out)) == 2
 
+    @pytest.mark.medium
     def test_int8_inference_flag(self, env, tmp_path, monkeypatch):
         """--int8 wires pipe.enable_int8() into the inference driver: make a
         brushnet checkpoint via the from_unet surgery (no training), run the
@@ -235,6 +238,7 @@ class TestCLIJourney:
         ])
         assert len(os.listdir(infer_out)) == 2
 
+    @pytest.mark.medium
     def test_cached_mode_inference_flags(self, env, tmp_path):
         """--deep_cache / --encoder_reuse wire the cached serving modes into
         the inference driver (mode math itself is pinned in
@@ -288,6 +292,7 @@ class TestCLIJourney:
 
 
 @pytest.mark.integration
+@pytest.mark.medium
 def test_nonfinite_loss_guard(tmp_path):
     """A NaN in the input pipeline must abort training with a clear error
     and a final checkpoint, not run to max_steps on poisoned weights."""
@@ -344,6 +349,7 @@ def test_nonfinite_loss_guard(tmp_path):
 
 
 @pytest.mark.integration
+@pytest.mark.medium
 def test_async_save_journey(env, tmp_path):
     """--async_save: background checkpoint writes produce the same layout
     and the run's final synchronous save is durable."""
@@ -378,6 +384,7 @@ def test_async_save_journey(env, tmp_path):
 
 
 @pytest.mark.integration
+@pytest.mark.medium
 def test_use_ema_inference_journey(env, tmp_path):
     """--use_ema on the tester loads checkpoint-N/ema/brushnet (written by
     train --use_ema) and produces different images than the raw weights."""

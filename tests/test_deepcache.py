@@ -12,6 +12,7 @@ from tests.test_models import TINY_UNET, make_brushnet, make_unet
 
 
 class TestUNetDeepCache:
+    @pytest.mark.medium
     def test_same_step_exactness(self):
         unet, params = make_unet()
         x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 4))
@@ -23,6 +24,7 @@ class TestUNetDeepCache:
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(np.asarray(deep2), np.asarray(deep))
 
+    @pytest.mark.medium
     def test_same_step_exactness_with_injection(self):
         unet, uparams = make_unet()
         bn, bparams = make_brushnet()
@@ -42,6 +44,7 @@ class TestUNetDeepCache:
         np.testing.assert_allclose(np.asarray(out_shallow), np.asarray(out_full),
                                    rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.medium
     def test_stale_deep_differs(self):
         unet, params = make_unet()
         x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 4))
@@ -54,6 +57,7 @@ class TestUNetDeepCache:
 
 
 class TestPipelineDeepCache:
+    @pytest.mark.medium
     def test_pipeline_smoke(self):
         from tests.test_pipeline import H, W, _inputs, pipe as pipe_fixture  # noqa: F401
         # rebuild a tiny pipeline inline (fixture is module-scoped elsewhere)
@@ -79,6 +83,7 @@ class TestEncoderReuse:
     """Faster Diffusion (arXiv 2312.09608) encoder reuse: same-step reuse of
     the encoder cache must be exact; the pipeline mode is an approximation."""
 
+    @pytest.mark.medium
     def test_same_step_exactness_with_injection(self):
         from tests.test_models import make_brushnet, make_unet
 
@@ -120,6 +125,7 @@ class TestEncoderReuse:
                                   return_encoder=True)
         assert float(jnp.abs(out_new - out_stale).max()) > 1e-4
 
+    @pytest.mark.medium
     def test_pipeline_smoke(self):
         import tests.test_pipeline as tp
 
@@ -157,6 +163,7 @@ class TestCachedModesPerStepDispatch:
     rounding (+-1 level), same tolerance as the data-parallel tests; the
     same-chunk determinism is exact."""
 
+    @pytest.mark.medium
     def test_deep_cache_per_step_matches_scan(self):
         pipe, inputs = _tiny_pipe_and_inputs()
         pipe.enable_deep_cache(2)
@@ -171,6 +178,7 @@ class TestCachedModesPerStepDispatch:
         np.testing.assert_allclose(c.astype(np.int16), a.astype(np.int16), atol=1)
         np.testing.assert_array_equal(b, b2)  # deterministic
 
+    @pytest.mark.medium
     def test_encoder_reuse_per_step_matches_scan(self):
         pipe, inputs = _tiny_pipe_and_inputs()
         pipe.enable_encoder_reuse(2)

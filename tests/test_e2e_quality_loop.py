@@ -145,6 +145,7 @@ def _reference_cell(metric, gen, gt_data, lpips_fn):
 
 
 class TestQualityLoopCSVs:
+    @pytest.mark.medium
     def test_calc_cells_match_reference_protocol(self, loop_env):
         import pandas as pd
 

@@ -92,12 +92,14 @@ def ref_unet():
 
 
 class TestRealScaleKeyMapping:
+    @pytest.mark.medium
     def test_sd15_unet(self, ref_unet):
         from reflecting_reality_tpu.models.unet2d import UNet2DConditionModel
 
         module = UNet2DConditionModel.from_config(dict(ref_unet.config))
         validate_loaded_params(module, to_flax(fp16_state(ref_unet)), "sd15-unet")
 
+    @pytest.mark.medium
     def test_sd15_brushnet_from_unet(self, ref_unet):
         from diffusers import BrushNetModel as TorchBrushNet
 

@@ -4,6 +4,7 @@ split semantics, and the partial-freeze training path."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from reflecting_reality_tpu.models.ip_adapter import (
     DEFAULT_NUM_TOKENS,
@@ -88,6 +89,7 @@ class TestSurgeryAndMask:
 
 
 class TestIPTraining:
+    @pytest.mark.medium
     def test_partial_freeze(self):
         """ip mode, train_base_unet=False: to_k_ip/to_v_ip and normal_proj
         update; all other unet leaves stay frozen."""

@@ -73,6 +73,7 @@ class TestPipeline:
         assert out1.dtype == np.uint8
         np.testing.assert_array_equal(out1, out2)
 
+    @pytest.mark.medium
     def test_ddim_and_no_cfg(self, pipe):
         image, mask, depth = _inputs()
         out = pipe(
@@ -168,6 +169,7 @@ def ip_pipe():
 
 
 class TestIPAdapterPipeline:
+    @pytest.mark.medium
     def test_end_to_end_and_determinism(self, ip_pipe):
         image, mask, depth = _inputs()
         normal = np.asarray([[0.0, 0.0, 1.0]], np.float32)  # (1, 3)
@@ -213,6 +215,7 @@ class TestPerStepDispatch:
     the scan path."""
 
     @pytest.mark.parametrize("scheduler", ["unipc", "ddim"])
+    @pytest.mark.medium
     def test_matches_scan(self, pipe, scheduler):
         image, mask, depth = _inputs()
         kwargs = dict(
@@ -226,6 +229,7 @@ class TestPerStepDispatch:
             a.astype(np.float32), b.astype(np.float32), atol=1.0
         )  # uint8: allow 1 quantization step of fp reassociation noise
 
+    @pytest.mark.medium
     def test_guess_mode_per_step_matches_scan(self, pipe):
         image, mask, depth = _inputs()
         kwargs = dict(prompt="m", image=image, mask=mask, depth=depth,
@@ -239,6 +243,7 @@ class TestPerStepDispatch:
         )
 
 
+@pytest.mark.medium
 def test_non_square_resolution(pipe):
     """Non-square sizes (576x512-style aspect) must flow through preprocess,
     conditioning assembly, the scan, and decode with consistent latents."""
@@ -253,6 +258,7 @@ def test_non_square_resolution(pipe):
     assert np.isfinite(out.astype(np.float32)).all()
 
 
+@pytest.mark.medium
 def test_multi_prompt_batch(pipe):
     """A list of prompts batches through CFG layout [uncond..., cond...]."""
     image, mask, depth = _inputs()
@@ -263,6 +269,7 @@ def test_multi_prompt_batch(pipe):
     assert np.abs(out[0].astype(int) - out[1].astype(int)).max() > 0
 
 
+@pytest.mark.medium
 def test_cast_params_close_to_fp32():
     """cast_params (half-precision weights, the reference torch_dtype policy)
     must stay close to the fp32-weight output and leave the VAE untouched."""
@@ -297,6 +304,7 @@ def test_guess_mode_smoke(pipe):
 
 
 class TestDataParallelGeneration:
+    @pytest.mark.medium
     def test_dp_matches_single_device(self, pipe):
         """Batch-sharded generation over the 8-device mesh must reproduce the
         unsharded output (same seeds, same program up to layout)."""
@@ -384,6 +392,7 @@ class TestConditioningModes:
             normals_conditioning_mode=normals_mode,
         )
 
+    @pytest.mark.medium
     def test_depth_latents_mode(self):
         """depth 'latents': 3ch-repeat -> VAE encode -> 4 extra cond
         channels (4 img + 1 mask + 4 depth = 9)."""
@@ -417,6 +426,7 @@ class TestConditioningModes:
             pipe(prompt="m", image=image, mask=mask, depth=depth,
                  num_inference_steps=2, seed=0)
 
+    @pytest.mark.medium
     def test_normals_latents_mode(self):
         """normals 'latents': VAE-encoded normals, the reference's
         conditioning_channels=13 configuration (4 + 1 + 4 + 4)."""

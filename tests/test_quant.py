@@ -274,6 +274,7 @@ def _inputs():
 
 
 class TestPipelineInt8:
+    @pytest.mark.medium
     def test_e2e_close_to_exact_and_deterministic(self):
         pipe = _tiny_pipe()
         kwargs = _inputs()
@@ -293,6 +294,7 @@ class TestPipelineInt8:
         with pytest.raises(ValueError):
             pipe.enable_int8()  # default policy selects nothing at tiny config
 
+    @pytest.mark.medium
     def test_composes_with_deep_cache_and_per_step(self):
         pipe = _tiny_pipe()
         pipe.enable_int8(select=ALL)

@@ -111,6 +111,7 @@ def _inputs(seed=0):
     return image, mask, depth
 
 
+@pytest.mark.medium
 def test_sdxl_num_images_per_prompt(pipe):
     image, mask, depth = _inputs()
     out = pipe("a mirror", image, mask, depth=depth, num_inference_steps=2,
@@ -120,6 +121,7 @@ def test_sdxl_num_images_per_prompt(pipe):
     assert not np.array_equal(out[0], out[1])
 
 
+@pytest.mark.medium
 def test_sdxl_data_parallel_matches_single_device(pipe):
     """8-way batch-sharded SDXL generation == unsharded generation
     (the parity closing VERDICT item 7: SD-1.5's DP machinery now covers
@@ -142,6 +144,7 @@ def test_sdxl_data_parallel_matches_single_device(pipe):
 
 
 class TestSDXLCachedModes:
+    @pytest.mark.medium
     def test_deep_cache_smoke_and_reset(self, pipe):
         image, mask, depth = _inputs()
         kwargs = dict(depth=depth, num_inference_steps=4, guidance_scale=5.0, seed=3)
@@ -156,6 +159,7 @@ class TestSDXLCachedModes:
         again = pipe("a mirror", image, mask, **kwargs)
         np.testing.assert_array_equal(again, ref)  # toggle fully resets
 
+    @pytest.mark.medium
     def test_encoder_reuse_smoke_and_reset(self, pipe):
         image, mask, depth = _inputs()
         kwargs = dict(depth=depth, num_inference_steps=4, guidance_scale=5.0, seed=4)
@@ -183,6 +187,7 @@ class TestSDXLCachedModes:
             pipe.disable_encoder_reuse()
 
 
+@pytest.mark.medium
 def test_sdxl_int8_close_to_exact(pipe):
     """enable_int8 (base-class W8A8 serving mode) covers SDXL: the sampler
     jit traces under the interceptor, outputs stay deterministic and close

@@ -195,6 +195,7 @@ class TestBatchingServer:
     """Micro-batched serving (BatchingPipelineServer): request parity,
     drain compatibility, bucket padding, and live concurrent round-trip."""
 
+    @pytest.mark.medium
     def test_batched_matches_solo(self, tiny_pipe):
         """3 distinct requests through one padded bucket-4 batched call ==
         the 3 solo pipeline calls (deterministic VAE encode; per-request
@@ -337,6 +338,7 @@ class TestBatchingServer:
             httpd.shutdown()
             server.close()
 
+    @pytest.mark.medium
     def test_data_parallel_micro_batching(self, tiny_pipe):
         """DP generation + micro-batching: buckets pad up to a mesh
         multiple so the sharded batch divides evenly; a solo request on a
@@ -369,6 +371,7 @@ class TestBatchingServer:
         finally:
             tiny_pipe.disable_data_parallel()
 
+    @pytest.mark.medium
     def test_backpressure_503(self, tiny_pipe):
         """max_queue sheds load with 503 instead of growing unbounded
         latency; a request after the queue drains succeeds."""
@@ -394,6 +397,7 @@ class TestBatchingServer:
         assert srv._queue.qsize() == 0
 
 
+@pytest.mark.medium
 def test_dispatch_per_step_payload(served):
     """payload dispatch='per_step' routes through the chunked-segment path
     and matches the scan output (segment==scan parity is golden-pinned in
@@ -413,6 +417,7 @@ def test_dispatch_per_step_payload(served):
     assert diff.max() <= 1, f"max diff {diff.max()}"
 
 
+@pytest.mark.medium
 def test_warmup_compiles_batch_bucket(tiny_pipe):
     """warmup() on a batching server pre-compiles both the solo program and
     the full max_batch bucket."""

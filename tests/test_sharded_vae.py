@@ -26,6 +26,7 @@ def vae_and_latent():
     return vae, params, z, full
 
 
+@pytest.mark.medium
 def test_tiled_close_to_full_and_seamless(vae_and_latent):
     vae, params, z, full = vae_and_latent
     out = tiled_decode(vae, params, z, num_tiles=4, overlap=8)
@@ -40,6 +41,7 @@ def test_tiled_close_to_full_and_seamless(vae_and_latent):
         assert grad[:, :, c - 1].mean() < 10 * grad.mean()
 
 
+@pytest.mark.medium
 def test_sharded_matches_tiled(vae_and_latent):
     """Same math on the mesh: sharded == tiled (up to reduction order)."""
     vae, params, z, _ = vae_and_latent
@@ -50,6 +52,7 @@ def test_sharded_matches_tiled(vae_and_latent):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.medium
 def test_exact_sharded_matches_full(vae_and_latent):
     """The psum-GroupNorm + halo-exchange path must reproduce the unsharded
     decode to fp32 reassociation noise (BASELINE config #5 exact variant)."""
@@ -61,6 +64,7 @@ def test_exact_sharded_matches_full(vae_and_latent):
                                rtol=1e-4, atol=2e-5)
 
 
+@pytest.mark.medium
 def test_exact_sharded_channel_change_and_batch(vae_and_latent):
     """Exercise conv_shortcut (channel-changing resnets) + batch > 1."""
     vae = AutoencoderKL(block_out_channels=(4, 8, 8, 8), norm_num_groups=2)
@@ -85,6 +89,7 @@ def test_tiled_error_bounded_by_exact(vae_and_latent):
     assert err < 0.15 * scale_ref, (err, scale_ref)
 
 
+@pytest.mark.medium
 def test_more_overlap_is_closer(vae_and_latent):
     vae, params, z, full = vae_and_latent
     err = []
@@ -94,6 +99,7 @@ def test_more_overlap_is_closer(vae_and_latent):
     assert err[1] < err[0]
 
 
+@pytest.mark.medium
 def test_pipeline_sharded_vae_matches_plain():
     """enable_sharded_vae(exact=True) through the full pipeline must
     reproduce the plain-decode pipeline output (CPU mesh)."""

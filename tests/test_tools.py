@@ -93,6 +93,7 @@ class TestVisualizer:
 
 
 class TestSummarizer:
+    @pytest.mark.medium
     def test_fallback_truncation(self, tmp_path):
         import pandas as pd
 

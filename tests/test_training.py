@@ -99,6 +99,7 @@ class TestTrainStep:
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.medium
     def test_variant_config_combined(self):
         """train_base_unet + EMA + SNR-gamma + v-prediction in one compile."""
         step_fn, state = build(
@@ -121,6 +122,7 @@ class TestTrainStep:
             np.asarray(e), np.asarray(p0 * 0.1 + p1 * 0.9), rtol=1e-5, atol=1e-7
         )
 
+    @pytest.mark.medium
     def test_ema_bf16_storage(self):
         """ema_dtype='bf16' keeps the shadow copy bf16 across updates (fp32
         accumulate, bf16 store — the 16 GB-chip memory knob)."""
@@ -144,6 +146,7 @@ class TestTrainStep:
 
 
 class TestDataParallel:
+    @pytest.mark.medium
     def test_mesh_step_matches_single_device(self, default_run):
         """Same global batch: 8-way sharded step == single-device step
         (the gradient psum the compiler inserts must reproduce DDP exactly)."""
@@ -164,6 +167,7 @@ class TestDataParallel:
 
 
 class TestTrainingOptions:
+    @pytest.mark.medium
     def test_grad_accumulation_and_checkpointing(self):
         """K=2 accumulation: params move only every 2nd step; remat on."""
         step_fn, state = build(gradient_accumulation_steps=2,
@@ -195,6 +199,7 @@ class TestMultihostHelpers:
 
 
 class TestRematPolicy:
+    @pytest.mark.medium
     def test_dots_policy_matches_full(self):
         """gradient_checkpointing_policy='dots' (save matmul outputs) must be
         numerically equivalent to full-graph remat — it changes only what is
@@ -213,6 +218,7 @@ class TestRematPolicy:
 
 
 class TestLatentCache:
+    @pytest.mark.medium
     def test_cached_moments_step_equals_direct(self):
         """A step fed precomputed VAE moments (latent_moments keys) must be
         BIT-IDENTICAL to the pixel-encoding step under the same rng: the
