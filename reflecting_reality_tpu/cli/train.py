@@ -278,7 +278,29 @@ def main(argv=None):
             state = ckpt.load_state(path, state)
 
     state = replicate_tree(state, mesh)
-    step_fn = jax.jit(step_fn, donate_argnums=(0,))
+    raw_step = step_fn
+    step_fn = jax.jit(raw_step, donate_argnums=(0,))
+
+    # --steps_per_dispatch K > 1: scan K steps per dispatch over a stacked
+    # (K, batch, ...) super-batch — one host->device upload and one XLA
+    # dispatch per K steps, so host/dispatch latency amortizes K-fold (the
+    # TPU-native answer to per-step Python loop overhead; the step stream is
+    # bit-identical to K=1 because the scan body splits the carried rng
+    # exactly like the host loop below does).
+    multi_cache: dict = {}
+
+    def multi_step_fn(k):
+        if k not in multi_cache:
+            def multi(state, batches, rng):
+                def body(carry, batch):
+                    state, rng = carry
+                    rng, sub = jax.random.split(rng)
+                    state, metrics = raw_step(state, batch, sub)
+                    return (state, rng), metrics
+                (state, rng), metrics = jax.lax.scan(body, (state, rng), batches)
+                return state, metrics, rng
+            multi_cache[k] = jax.jit(multi, donate_argnums=(0,))
+        return multi_cache[k]
 
     trackers = make_trackers(args)
     os.makedirs(args.output_dir, exist_ok=True)
@@ -299,43 +321,65 @@ def main(argv=None):
             f"dataset ({len(dataset)} samples) smaller than the global batch "
             f"({global_batch} = {args.train_batch_size} x {n_dev} devices)"
         )
+    K = max(1, args.steps_per_dispatch)
+    last_fetch_step = first_step
     while step < args.max_train_steps:
-        for batch in prefetch_to_device(iter(loader), mesh):
-            rng, step_rng = jax.random.split(rng)
+        for batch in prefetch_to_device(iter(loader), mesh, group=K):
             if step == first_step:
                 logger.info("Compiling train step (first dispatch) ...")
-            state, metrics = step_fn(state, batch, step_rng)
-            step += 1
+            if K == 1:
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = step_fn(state, batch, step_rng)
+                done = 1
+            else:
+                k = jax.tree_util.tree_leaves(batch)[0].shape[0]
+                k = min(k, args.max_train_steps - step)  # never overshoot
+                if k < jax.tree_util.tree_leaves(batch)[0].shape[0]:
+                    batch = jax.tree_util.tree_map(lambda x: x[:k], batch)
+                state, metrics, rng = multi_step_fn(k)(state, batch, rng)
+                done = k
+            prev, step = step, step + done
+            window = range(prev + 1, step + 1)
 
-            if step % args.log_every == 0:
+            logged = [s for s in window if s % args.log_every == 0]
+            if logged:
                 m = jax.device_get(metrics)
-                sps = args.log_every / (time.time() - t0)
+                losses = np.asarray(m["loss"]).reshape(-1)
+                gnorms = np.asarray(m["grad_norm"]).reshape(-1)
+                sps = (step - last_fetch_step) / (time.time() - t0)
                 t0 = time.time()
-                log_to_trackers(trackers, {
-                    "loss": float(m["loss"]),
-                    "grad_norm": float(m["grad_norm"]),
-                    "steps_per_sec": round(sps, 3),
-                }, step)
-                # Failure detection the reference lacks: a non-finite loss
-                # poisons AdamW state from that step on; stop with a clear
-                # message (and a usable last checkpoint) instead of training
-                # to max_steps on NaN weights.
-                if not np.isfinite(m["loss"]):
-                    nan_steps += 1
-                    logger.error("non-finite loss %s at step %d (%d/%d)",
-                                 m["loss"], step, nan_steps,
-                                 args.max_nonfinite_steps)
-                    if nan_steps >= args.max_nonfinite_steps:
-                        ckpt.save_state(args.output_dir, step, state,
-                                        brushnet_module, unet_module,
-                                        total_limit=None, keep=custom_steps)
-                        raise FloatingPointError(
-                            f"loss non-finite for {nan_steps} consecutive "
-                            f"logged steps; aborting at step {step}")
-                else:
-                    nan_steps = 0
+                last_fetch_step = step
+                for s in logged:
+                    i = min(s - prev - 1, len(losses) - 1)
+                    log_to_trackers(trackers, {
+                        "loss": float(losses[i]),
+                        "grad_norm": float(gnorms[i]),
+                        "steps_per_sec": round(sps, 3),
+                    }, s)
+                    # Failure detection the reference lacks: a non-finite
+                    # loss poisons AdamW state from that step on; stop with
+                    # a clear message (and a usable last checkpoint) instead
+                    # of training to max_steps on NaN weights.
+                    if not np.isfinite(losses[i]):
+                        nan_steps += 1
+                        logger.error("non-finite loss %s at step %d (%d/%d)",
+                                     losses[i], s, nan_steps,
+                                     args.max_nonfinite_steps)
+                        if nan_steps >= args.max_nonfinite_steps:
+                            ckpt.save_state(args.output_dir, step, state,
+                                            brushnet_module, unet_module,
+                                            total_limit=None, keep=custom_steps)
+                            raise FloatingPointError(
+                                f"loss non-finite for {nan_steps} consecutive "
+                                f"logged steps; aborting at step {step}")
+                    else:
+                        nan_steps = 0
 
-            if step % args.checkpointing_steps == 0 or step in custom_steps:
+            if any(s % args.checkpointing_steps == 0 for s in window) \
+                    or custom_steps.intersection(window):
+                # with K > 1 the save lands on the dispatch boundary (step
+                # rounds up to the next multiple of K past the configured
+                # cadence); resume reads state.step so nothing is lost
                 if async_saver is not None:
                     async_saver.save(
                         args.output_dir, step, state, brushnet_module,
@@ -351,7 +395,8 @@ def main(argv=None):
                     )
                     logger.info("Saved %s", path)
 
-            if args.validation_steps and step % args.validation_steps == 0:
+            if args.validation_steps and any(
+                    s % args.validation_steps == 0 for s in window):
                 # No blanket try/except here: a broken validation path must
                 # fail loudly. Per-sample IO errors are handled inside
                 # run_validation.
@@ -514,6 +559,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--report_to", type=str, default="wandb")
     p.add_argument("--tracker_project_name", type=str, default="train_brushnet_mirror")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="scan this many optimizer steps inside ONE jitted "
+                        "dispatch over a stacked (K, batch, ...) super-batch; "
+                        "amortizes host->device upload + dispatch latency "
+                        "K-fold with a bit-identical step stream (checkpoints/"
+                        "validation land on dispatch boundaries)")
     p.add_argument("--precomputed_latents_dir", type=str, default=None,
                    help="VAE-moments cache from tools/precompute_latents.py; "
                         "training samples from cached moments instead of "

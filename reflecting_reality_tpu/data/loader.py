@@ -86,19 +86,42 @@ class DataLoader:
                 yield collate(list(fut))
 
 
-def prefetch_to_device(iterator, mesh=None, size: int = 2):
+def prefetch_to_device(iterator, mesh=None, size: int = 2, group: int = 1):
     """Wrap a host batch iterator with a device-put prefetch queue.
 
     With a mesh, batches are sharded on the leading axis (data-parallel);
-    otherwise they are device_put to the default device."""
+    otherwise they are device_put to the default device.
+
+    group > 1 stacks consecutive batches into (group, batch, ...)
+    super-batches (one upload + one lax.scan dispatch per `group` steps in
+    cli/train.py --steps_per_dispatch); a partial group at iterator
+    exhaustion is yielded with a shorter leading dim, never dropped."""
+    import numpy as np
     import jax
 
     if mesh is not None:
         from reflecting_reality_tpu.parallel.mesh import shard_batch
 
-        put = lambda b: shard_batch(b, mesh)
+        put = lambda b, ax=0: shard_batch(b, mesh, batch_axis=ax)
     else:
-        put = jax.device_put
+        put = lambda b, ax=0: jax.device_put(b)
+
+    if group > 1:
+        base = iterator
+
+        def grouped():
+            buf = []
+            for b in base:
+                buf.append(b)
+                if len(buf) == group:
+                    yield jax.tree_util.tree_map(lambda *xs: np.stack(xs), *buf)
+                    buf = []
+            if buf:
+                yield jax.tree_util.tree_map(lambda *xs: np.stack(xs), *buf)
+
+        iterator = grouped()
+        inner_put = put
+        put = lambda b: inner_put(b, 1)
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()

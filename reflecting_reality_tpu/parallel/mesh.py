@@ -26,9 +26,14 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis_name,))
 
 
-def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
-    """Shard the leading (batch) dim; everything else replicated."""
-    return NamedSharding(mesh, P(axis_name))
+def batch_sharding(mesh: Mesh, axis_name: str = "data",
+                   batch_axis: int = 0) -> NamedSharding:
+    """Shard the batch dim (default: leading); everything else replicated.
+
+    batch_axis=1 serves stacked multi-step super-batches of shape
+    (steps_per_dispatch, batch, ...) — the scan axis stays replicated and
+    the per-step batch is data-parallel."""
+    return NamedSharding(mesh, P(*([None] * batch_axis), axis_name))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -36,7 +41,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data",
-                from_process_local: Optional[bool] = None):
+                from_process_local: Optional[bool] = None,
+                batch_axis: int = 0):
     """Put a host batch dict onto the mesh, sharded along the batch dim.
 
     Single-host: a plain sharded device_put of the global batch.
@@ -46,7 +52,7 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data",
     one global jax.Array with jax.make_array_from_process_local_data — the
     TPU-native equivalent of the reference's per-rank DataLoader + DDP
     (train_brushnet_mirror.py:1242-1269)."""
-    sh = batch_sharding(mesh, axis_name)
+    sh = batch_sharding(mesh, axis_name, batch_axis)
     if from_process_local is None:
         from_process_local = jax.process_count() > 1
     if not from_process_local:
@@ -54,8 +60,9 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data",
 
     def put(x):
         x = np.asarray(x)
-        global_shape = (x.shape[0] * jax.process_count(), *x.shape[1:])
-        return jax.make_array_from_process_local_data(sh, x, global_shape)
+        global_shape = list(x.shape)
+        global_shape[batch_axis] *= jax.process_count()
+        return jax.make_array_from_process_local_data(sh, x, tuple(global_shape))
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -349,6 +349,60 @@ def test_nonfinite_loss_guard(tmp_path):
 
 
 @pytest.mark.integration
+def test_steps_per_dispatch_matches_single(env, tmp_path):
+    """--steps_per_dispatch K scans K optimizer steps inside one jitted
+    dispatch (stacked (K, batch, ...) super-batch, lax.scan carry).  The
+    scan body splits the carried rng exactly like the K=1 host loop, so the
+    loss trajectory and final weights must match step-for-step; an odd
+    max_train_steps also exercises the clamped tail program (k < K)."""
+    import json
+
+    from reflecting_reality_tpu.cli import train as train_cli
+    from reflecting_reality_tpu.core.io import load_safetensors
+
+    base, _ = env
+    data = str(tmp_path / "data16")
+    make_synmirror_data(data, n=16, size=64)  # 2 global batches per epoch
+
+    def run(tag, extra):
+        out = str(tmp_path / tag)
+        train_cli.main([
+            "--pretrained_model_name_or_path", base,
+            "--train_data_dir", data,
+            "--output_dir", out,
+            "--resolution", "64",
+            "--train_batch_size", "1",
+            "--max_train_steps", "5",
+            "--checkpointing_steps", "100",
+            "--learning_rate", "1e-3",
+            "--lr_warmup_steps", "0",
+            "--depth_conditioning_mode", "concat",
+            "--report_to", "none",
+            "--logging_dir", os.path.join(out, "logs"),
+            "--validation_steps", "0",
+            "--seed", "0",
+            "--log_every", "1",
+        ] + extra)
+        with open(os.path.join(out, "logs", "metrics.jsonl")) as f:
+            losses = {r["step"]: r["loss"] for r in map(json.loads, f)
+                      if "loss" in r}
+        ckpt = os.path.join(out, "checkpoint-5", "brushnet",
+                            "diffusion_pytorch_model.safetensors")
+        return losses, load_safetensors(ckpt)
+
+    l1, w1 = run("k1", [])
+    l2, w2 = run("k2", ["--steps_per_dispatch", "2"])
+    assert set(l1) == set(l2) == {1, 2, 3, 4, 5}
+    for s in sorted(l1):
+        np.testing.assert_allclose(l1[s], l2[s], rtol=2e-4,
+                                   err_msg=f"loss diverged at step {s}")
+    for k in w1:
+        np.testing.assert_allclose(
+            np.asarray(w1[k], np.float32), np.asarray(w2[k], np.float32),
+            rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+@pytest.mark.integration
 @pytest.mark.medium
 def test_async_save_journey(env, tmp_path):
     """--async_save: background checkpoint writes produce the same layout
