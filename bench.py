@@ -122,18 +122,13 @@ def timed(fn, args, reps=3):
     return times
 
 
-def main():
-    # Pallas flash attention: 33.6 steps/s vs 16.0 with the einsum path
-    # (measured on v5e; the 4096-token self-attention dominates).
-    set_attention_backend("flash")
-    dtype = jnp.bfloat16
-    unet, uparams, brushnet, bparams = build(dtype)
-    batch = 1
+def measure(unet, uparams, brushnet, bparams, batch, dtype, steps_pair=(10, 50)):
+    """Two-point chained denoise timing at a given image batch; returns the
+    three per-rep steps/s estimates."""
     latents = jax.random.normal(jax.random.PRNGKey(2), (batch, 64, 64, 4), jnp.float32)
     cond = jax.random.normal(jax.random.PRNGKey(3), (batch, 64, 64, 6), jnp.float32)
     embeds = jax.random.normal(jax.random.PRNGKey(4), (2 * batch, 77, 768), jnp.float32)
-
-    n1, n2 = 10, 50
+    n1, n2 = steps_pair
     f1 = make_denoise(unet, brushnet, n1, batch, dtype)
     f2 = make_denoise(unet, brushnet, n2, batch, dtype)
     # Variance discipline: three independent two-point estimates, pairing the
@@ -141,9 +136,26 @@ def main():
     # against the measured spread instead of single-shot jitter.
     t1s = timed(f1, (uparams, bparams, latents, cond, embeds))
     t2s = timed(f2, (uparams, bparams, latents, cond, embeds))
-    ests = [1.0 / ((b - a) / (n2 - n1)) for a, b in zip(t1s, t2s)]
+    return [1.0 / ((b - a) / (n2 - n1)) for a, b in zip(t1s, t2s)]
+
+
+def main():
+    # Pallas flash attention: 33.6 steps/s vs 16.0 with the einsum path
+    # (measured on v5e; the 4096-token self-attention dominates).
+    set_attention_backend("flash")
+    dtype = jnp.bfloat16
+    unet, uparams, brushnet, bparams = build(dtype)
+
+    ests = measure(unet, uparams, brushnet, bparams, 1, dtype)
     steps_per_s = max(ests)  # min-of-3 time == best steps/s
     spread = (max(ests) - min(ests)) / min(ests)
+
+    # Protocol workload (VERDICT r3 item 6): the reference eval runs 4 seeds
+    # per sample (test_brushnet.py:248-259) which we batch as bs=4; report
+    # images/s/chip at 50 UniPC steps so BENCH tracks the deliverable
+    # workload, not just the bs=1 latency headline.
+    ests4 = measure(unet, uparams, brushnet, bparams, 4, dtype)
+    protocol_img_per_s = max(ests4) / 50.0 * 4
 
     print(json.dumps({
         "metric": "mirrorfusion_512_denoise_steps_per_sec_per_chip",
@@ -152,6 +164,10 @@ def main():
         "vs_baseline": round(steps_per_s / A100_BASELINE_STEPS_PER_S, 3),
         "runs": [round(e, 3) for e in ests],
         "spread_frac": round(spread, 4),
+        "protocol_metric": "mirrorfusion_512_protocol_images_per_sec_per_chip",
+        "protocol_value": round(protocol_img_per_s, 4),
+        "protocol_unit": "images/s (4 seeds batched, 50 UniPC steps)",
+        "protocol_steps_per_sec_bs4": round(max(ests4), 3),
     }))
 
 

@@ -67,7 +67,8 @@ def make_lpips_npz(path):
 
 
 def run_quality(workdir, train_steps=400, resolution=128, n_samples=8,
-                steps=50, seeds=4, modes=None, fresh=False, lr="1e-3"):
+                steps=50, seeds=4, modes=None, fresh=False, lr="1e-3",
+                train_batch_size=4):
     """Train once, then generate + evaluate per mode.  Returns
     {mode: {col: dataset_average}} from each mode's eval_avg.csv."""
     import pandas as pd
@@ -93,7 +94,7 @@ def run_quality(workdir, train_steps=400, resolution=128, n_samples=8,
             "--train_data_dir", data,
             "--output_dir", run,
             "--resolution", str(resolution),
-            "--train_batch_size", "4",
+            "--train_batch_size", str(train_batch_size),
             "--max_train_steps", str(train_steps),
             "--checkpointing_steps", str(train_steps),
             "--learning_rate", lr,

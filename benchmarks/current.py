@@ -15,8 +15,18 @@ from __future__ import annotations
 import argparse
 import csv
 import os
+import re
+import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _impossible_utilization(row: dict) -> bool:
+    """True when the row's notes claim MFU or HFU above 100% — a physically
+    impossible number that indicates broken flops accounting (the r2 bs=8
+    row once published MFU=102.7%); such rows are never republished."""
+    m = re.findall(r"(?:MFU|HFU)=([0-9.]+)%", row.get("notes", ""))
+    return any(float(v) > 100.0 for v in m)
 
 
 def current_rows(csv_path: str | None = None) -> list[dict]:
@@ -24,6 +34,13 @@ def current_rows(csv_path: str | None = None) -> list[dict]:
     latest: dict[str, dict] = {}
     with open(path) as f:
         for row in csv.DictReader(f):
+            if _impossible_utilization(row):
+                print(f"refusing to publish {row['benchmark']!r}: "
+                      f"MFU/HFU > 100% in notes (broken accounting); "
+                      f"re-measure and append a corrected row",
+                      file=sys.stderr)
+                # a bad row also must not shadow an older good one
+                continue
             latest[row["benchmark"]] = row  # append order == time order
     return list(latest.values())
 

@@ -154,6 +154,15 @@ def load_models(args, dtype):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    try:
+        # live traceback on demand (`kill -USR1 <pid>`): long remote-TPU
+        # phases are otherwise indistinguishable from a wedge
+        import faulthandler
+        import signal as _signal
+
+        faulthandler.register(_signal.SIGUSR1)
+    except (ImportError, AttributeError, ValueError):
+        pass
 
     from reflecting_reality_tpu.core.jit_cache import enable_compilation_cache
 
@@ -265,8 +274,16 @@ def main(argv=None):
         text = (text[0], cast_floating(text[1], jnp.bfloat16))
         if not args.train_base_unet and not normal_proj:
             unet_params = cast_floating(unet_params, jnp.bfloat16)
-    state = init_state(brushnet_params, unet_params, vae[1], text[1],
-                       normal_proj_params=normal_proj[1] if normal_proj else None)
+    # Build the train state ON HOST: init_state runs eagerly (optimizer
+    # moment zeros, EMA copies) over thousands of leaves, and each eager op
+    # on a remote TPU backend is a full dispatch round-trip (~seconds on a
+    # relayed chip — the process looks wedged).  On host CPU it is
+    # milliseconds; the single replicate_tree below then uploads the whole
+    # tree as plain transfers (no per-op dispatches).
+    logger.info("Initializing train state (host) ...")
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        state = init_state(brushnet_params, unet_params, vae[1], text[1],
+                           normal_proj_params=normal_proj[1] if normal_proj else None)
 
     # resume
     if args.resume_from_checkpoint:
@@ -277,16 +294,22 @@ def main(argv=None):
             logger.info("Resuming from %s", path)
             state = ckpt.load_state(path, state)
 
+    t_up = time.time()
+    logger.info("Uploading train state to the mesh ...")
     state = replicate_tree(state, mesh)
+    jax.block_until_ready(state)
+    logger.info("State resident in %.1fs", time.time() - t_up)
     raw_step = step_fn
     step_fn = jax.jit(raw_step, donate_argnums=(0,))
 
     # --steps_per_dispatch K > 1: scan K steps per dispatch over a stacked
     # (K, batch, ...) super-batch — one host->device upload and one XLA
     # dispatch per K steps, so host/dispatch latency amortizes K-fold (the
-    # TPU-native answer to per-step Python loop overhead; the step stream is
-    # bit-identical to K=1 because the scan body splits the carried rng
-    # exactly like the host loop below does).
+    # TPU-native answer to per-step Python loop overhead).  The scan body
+    # splits the carried rng exactly like the host loop below, so the
+    # RNG/step stream is the same as K=1; numerics match K=1 to
+    # floating-point tolerance (the scan compiles a different XLA program,
+    # so fusion differences produce ulp-level drift, not exact bits).
     multi_cache: dict = {}
 
     def multi_step_fn(k):
@@ -322,6 +345,15 @@ def main(argv=None):
             f"({global_batch} = {args.train_batch_size} x {n_dev} devices)"
         )
     K = max(1, args.steps_per_dispatch)
+    for name, cadence in (("checkpointing_steps", args.checkpointing_steps),
+                          ("validation_steps", args.validation_steps),
+                          ("log_every", args.log_every)):
+        if cadence and K > cadence:
+            logger.warning(
+                "steps_per_dispatch=%d exceeds %s=%d: multiple scheduled "
+                "events inside one dispatch collapse into one, so the "
+                "effective cadence is once per %d-step dispatch",
+                K, name, cadence, K)
     last_fetch_step = first_step
     while step < args.max_train_steps:
         for batch in prefetch_to_device(iter(loader), mesh, group=K):
@@ -375,23 +407,33 @@ def main(argv=None):
                     else:
                         nan_steps = 0
 
+            rounded_custom = custom_steps.intersection(window) - {step}
             if any(s % args.checkpointing_steps == 0 for s in window) \
                     or custom_steps.intersection(window):
                 # with K > 1 the save lands on the dispatch boundary (step
                 # rounds up to the next multiple of K past the configured
-                # cadence); resume reads state.step so nothing is lost
+                # cadence); resume reads state.step so nothing is lost.  A
+                # custom step rounded to this boundary must keep its pin
+                # protection, so the boundary step joins the keep set.
+                keep = custom_steps | ({step} if rounded_custom else set())
+                if rounded_custom:
+                    logger.warning(
+                        "custom checkpoint step(s) %s rounded to dispatch "
+                        "boundary %d (steps_per_dispatch=%d); checkpoint-%d "
+                        "is pinned in their place",
+                        sorted(rounded_custom), step, K, step)
                 if async_saver is not None:
                     async_saver.save(
                         args.output_dir, step, state, brushnet_module,
                         unet_module,
                         total_limit=args.checkpoints_total_limit,
-                        keep=custom_steps,
+                        keep=keep,
                     )
                     logger.info("Saving checkpoint-%d in background", step)
                 else:
                     path = ckpt.save_state(
                         args.output_dir, step, state, brushnet_module, unet_module,
-                        total_limit=args.checkpoints_total_limit, keep=custom_steps,
+                        total_limit=args.checkpoints_total_limit, keep=keep,
                     )
                     logger.info("Saved %s", path)
 
@@ -464,19 +506,31 @@ def run_validation(args, state, unet_module, brushnet_module, vae, text,
 
         summarize = summarize_fn(args.summarizer)
 
-    def stamp(img_arr, psnr, ssim):
+    # validation-time LPIPS (reference log_validation logs PSNR/SSIM/LPIPS,
+    # train_brushnet_mirror.py:238 via metrics/metrics.py:51-67); computed
+    # only when an --lpips_weights file is supplied, like metrics/evaluate.py
+    lpips_calc = None
+    if args.lpips_weights:
+        from reflecting_reality_tpu.metrics.calculator import MetricsCalculator
+
+        lpips_calc = MetricsCalculator([], lpips_weights=args.lpips_weights)
+
+    def stamp(img_arr, psnr, ssim, lpips=None):
         """Annotate scores onto the image (reference :239-242)."""
         from PIL import ImageDraw
 
         im = Image.fromarray(img_arr)
         draw = ImageDraw.Draw(im)
         draw.rectangle([0, 0, im.width, 12], fill=(0, 0, 0))
-        draw.text((2, 1), f"PSNR {psnr:.2f}  SSIM {ssim:.3f}", fill=(255, 255, 0))
+        text = f"PSNR {psnr:.2f}  SSIM {ssim:.3f}"
+        if lpips is not None:
+            text += f"  LPIPS {lpips:.3f}"
+        draw.text((2, 1), text, fill=(255, 255, 0))
         return im
 
     val_dir = os.path.join(args.output_dir, "validation", f"step-{step}")
     os.makedirs(val_dir, exist_ok=True)
-    best_psnrs, best_ssims = [], []
+    best_psnrs, best_ssims, best_lpips = [], [], []
     for _, row in df.iterrows():
         try:
             with h5py.File(os.path.join(args.train_data_dir, str(row["path"])), "r") as f:
@@ -519,9 +573,14 @@ def run_validation(args, state, unet_module, brushnet_module, vae, text,
             )[0]
             p, s = psnr_ssim(out.astype(np.float32),
                              data["image"].astype(np.float32))
-            scores.append((p, s, out))
+            lp = None
+            if lpips_calc is not None:
+                lp = lpips_calc.calculate_lpips(
+                    out.astype(np.float32) / 127.5 - 1.0,
+                    data["image"].astype(np.float32) / 127.5 - 1.0)
+            scores.append((p, s, lp, out))
         # 2-row grid sheet of score-stamped seeds (reference logs grids)
-        stamped = [stamp(o, p, s) for p, s, o in scores]
+        stamped = [stamp(o, p, s, lp) for p, s, lp, o in scores]
         cols = max(1, len(stamped) // 2)
         w, h = stamped[0].size
         grid = Image.new("RGB", (cols * w, 2 * h))
@@ -531,14 +590,19 @@ def run_validation(args, state, unet_module, brushnet_module, vae, text,
         best = max(scores, key=lambda x: x[1])
         best_psnrs.append(best[0])
         best_ssims.append(best[1])
+        if best[2] is not None:
+            best_lpips.append(best[2])
 
     if not best_psnrs:
         logger.warning("validation produced no samples at step %d", step)
         return
-    log_to_trackers(trackers, {
+    scalars = {
         "val/psnr": float(np.mean(best_psnrs)),
         "val/ssim": float(np.mean(best_ssims)),
-    }, step)
+    }
+    if best_lpips:
+        scalars["val/lpips"] = float(np.mean(best_lpips))
+    log_to_trackers(trackers, scalars, step)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -563,8 +627,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="scan this many optimizer steps inside ONE jitted "
                         "dispatch over a stacked (K, batch, ...) super-batch; "
                         "amortizes host->device upload + dispatch latency "
-                        "K-fold with a bit-identical step stream (checkpoints/"
-                        "validation land on dispatch boundaries)")
+                        "K-fold. Same RNG/step stream as K=1; numerics match "
+                        "to floating-point tolerance. Checkpoints/validation "
+                        "land on dispatch boundaries, so effective cadence is "
+                        "max(cadence, K). Prefetched super-batches pin ~2*K "
+                        "batches of input data in HBM")
     p.add_argument("--precomputed_latents_dir", type=str, default=None,
                    help="VAE-moments cache from tools/precompute_latents.py; "
                         "training samples from cached moments instead of "
@@ -652,6 +719,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--brushnet_conditioning_scale", type=float, default=1.0)
     p.add_argument("--num_inference_steps", type=int, default=20)
     p.add_argument("--validation_steps", type=int, default=1000)
+    p.add_argument("--lpips_weights", type=str, default=None,
+                   help="LPIPS(squeeze) weights (.npz from tools/"
+                        "convert_lpips.py or a torch checkpoint); when given, "
+                        "validation logs val/lpips alongside PSNR/SSIM "
+                        "(reference train_brushnet_mirror.py:238)")
     return p
 
 

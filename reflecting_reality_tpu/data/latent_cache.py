@@ -17,7 +17,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from reflecting_reality_tpu.data.rng import ThreadSafeRNG
+from reflecting_reality_tpu.data.rng import ItemRNG
 
 
 def cache_name(row, index: int) -> str:
@@ -51,9 +51,9 @@ class LatentCachedDataset:
         self.proportion_empty_prompts = proportion_empty_prompts
         self.mirror_prompt = mirror_prompt
         self.caption_column = caption_column
-        # per-thread Generators: DataLoader threads call __getitem__
-        # concurrently and numpy RNGs are not thread-safe
-        self.rng = ThreadSafeRNG(seed)
+        # item-keyed Generators: draws depend only on (seed, epoch, index),
+        # never on loader thread scheduling (data/rng.py)
+        self.rng = ItemRNG(seed)
         missing = [
             cache_name(df.iloc[i], i)
             for i in range(min(len(df), 16))
@@ -68,8 +68,9 @@ class LatentCachedDataset:
     def __len__(self):
         return self.df.shape[0]
 
-    def tokenize_caption(self, caption: str) -> np.ndarray:
-        if self.rng.rand() < self.proportion_empty_prompts:
+    def tokenize_caption(self, caption: str, rng=None) -> np.ndarray:
+        rng = rng if rng is not None else self.rng.for_item(0)
+        if rng.random() < self.proportion_empty_prompts:
             caption = ""
         elif isinstance(caption, str):
             caption = self.mirror_prompt + caption
@@ -79,5 +80,6 @@ class LatentCachedDataset:
         row = self.df.iloc[index]
         with np.load(os.path.join(self.cache_dir, cache_name(row, index))) as z:
             example = {k: z[k].astype(np.float32) for k in z.files}
-        example["input_ids"] = self.tokenize_caption(str(row[self.caption_column]))
+        example["input_ids"] = self.tokenize_caption(
+            str(row[self.caption_column]), self.rng.for_item(index))
         return example

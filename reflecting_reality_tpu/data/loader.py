@@ -65,6 +65,11 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(order)
+        # item-keyed dataset RNG (data/rng.py): advance its epoch so
+        # augmentation draws resample each pass but stay thread-invariant
+        ds_rng = getattr(self.dataset, "rng", None)
+        if ds_rng is not None and hasattr(ds_rng, "epoch"):
+            ds_rng.epoch = self.epoch
         self.epoch += 1
 
         lo = self.process_index * self.local_batch_size
@@ -86,7 +91,8 @@ class DataLoader:
                 yield collate(list(fut))
 
 
-def prefetch_to_device(iterator, mesh=None, size: int = 2, group: int = 1):
+def prefetch_to_device(iterator, mesh=None, size: int | None = None,
+                       group: int = 1):
     """Wrap a host batch iterator with a device-put prefetch queue.
 
     With a mesh, batches are sharded on the leading axis (data-parallel);
@@ -95,7 +101,12 @@ def prefetch_to_device(iterator, mesh=None, size: int = 2, group: int = 1):
     group > 1 stacks consecutive batches into (group, batch, ...)
     super-batches (one upload + one lax.scan dispatch per `group` steps in
     cli/train.py --steps_per_dispatch); a partial group at iterator
-    exhaustion is yielded with a shorter leading dim, never dropped."""
+    exhaustion is yielded with a shorter leading dim, never dropped.
+
+    size is the prefetch queue depth; queued + in-flight super-batches pin
+    up to (size + 1) * group global batches of input data in HBM, so the
+    default is 2 for group=1 but 1 when group>1 (one super-batch ahead
+    already amortizes dispatch latency — don't K-fold the HBM footprint)."""
     import numpy as np
     import jax
 
@@ -123,6 +134,8 @@ def prefetch_to_device(iterator, mesh=None, size: int = 2, group: int = 1):
         inner_put = put
         put = lambda b: inner_put(b, 1)
 
+    if size is None:
+        size = 1 if group > 1 else 2
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
 

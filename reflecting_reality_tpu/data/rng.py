@@ -1,38 +1,42 @@
-"""Thread-safe host RNG for dataset-side randomness (empty-prompt dropout,
-fliplr augmentation).
+"""Deterministic per-item host RNG for dataset-side randomness
+(empty-prompt dropout, fliplr augmentation).
 
-The reference gets per-worker RNG isolation for free from torch DataLoader
-worker *processes* (train_brushnet_mirror.py:1242-1248); the TPU rebuild's
-loader is a thread pool in one process, and numpy's RandomState/Generator are
-not thread-safe — concurrent draws can corrupt the generator state.  Each
-thread therefore gets its own Generator, seeded from a shared SeedSequence so
-a fixed dataset seed still yields reproducible single-threaded streams.
+The reference gets per-worker RNG isolation from torch DataLoader worker
+*processes* (train_brushnet_mirror.py:1242-1248) — which is thread-safe but
+order-dependent: an item's draws depend on which worker handles it.  The TPU
+rebuild's loader is a thread pool in one process, and a per-THREAD generator
+(the previous design here) made draws depend on thread scheduling: the same
+(seed, item) produced different augmentations run-to-run, which broke the
+--steps_per_dispatch K==1 reproducibility contract.
+
+The fix is the stateless JAX-style keying: each item's generator is derived
+purely from (seed, epoch, index), so draws are identical regardless of
+thread count, scheduling, batching, or prefetch depth — and differ across
+epochs so augmentation still resamples every pass.
 """
 
 from __future__ import annotations
 
-import threading
 from typing import Optional
 
 import numpy as np
 
 
-class ThreadSafeRNG:
-    """Per-thread numpy Generators spawned from one SeedSequence."""
+class ItemRNG:
+    """Per-item numpy Generators keyed by (seed, epoch, index).
+
+    With seed=None every call returns a fresh OS-entropy generator
+    (nondeterministic but thread-safe).  `epoch` is bumped by the DataLoader
+    between passes so augmentation draws differ across epochs while staying
+    reproducible for a fixed (seed, epoch)."""
 
     def __init__(self, seed: Optional[int] = None):
-        self._seq = np.random.SeedSequence(seed)
-        self._lock = threading.Lock()
-        self._local = threading.local()
+        self.seed = seed
+        self.epoch = 0
 
-    def _generator(self) -> np.random.Generator:
-        gen = getattr(self._local, "gen", None)
-        if gen is None:
-            with self._lock:
-                child = self._seq.spawn(1)[0]
-            gen = np.random.default_rng(child)
-            self._local.gen = gen
-        return gen
-
-    def rand(self) -> float:
-        return float(self._generator().random())
+    def for_item(self, index: int) -> np.random.Generator:
+        if self.seed is None:
+            return np.random.default_rng()
+        return np.random.default_rng(
+            np.random.SeedSequence([int(self.seed), int(self.epoch), int(index)])
+        )

@@ -30,7 +30,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from reflecting_reality_tpu.data.rng import ThreadSafeRNG
+from reflecting_reality_tpu.data.rng import ItemRNG
 
 try:
     import h5py
@@ -266,14 +266,16 @@ class HDF5Dataset:
         self.mirror_prompt = mirror_prompt
         self.caption_column = caption_column
         self.random_flip = random_flip
-        self.rng = ThreadSafeRNG(seed)
+        self.rng = ItemRNG(seed)
         self.kwargs = kwargs
 
     def __len__(self):
         return self.df.shape[0]
 
-    def tokenize_caption(self, caption: str) -> np.ndarray:
-        if self.rng.rand() < self.proportion_empty_prompts:
+    def tokenize_caption(self, caption: str,
+                         rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        rng = rng if rng is not None else self.rng.for_item(0)
+        if rng.random() < self.proportion_empty_prompts:
             caption = ""
         elif isinstance(caption, str):
             caption = self.mirror_prompt + caption
@@ -284,7 +286,10 @@ class HDF5Dataset:
         caption = str(row[self.caption_column])
         hdf5_path = self.data_root / str(row["path"])
 
-        flip = self.random_flip and self.rng.rand() < 0.5
+        # item-keyed rng: draws depend only on (seed, epoch, index), never on
+        # which loader thread runs this item (see data/rng.py)
+        rng = self.rng.for_item(index)
+        flip = self.random_flip and rng.random() < 0.5
         keys = {"image", "mask"}
         if not self.kwargs.get("hint_map_dir"):
             keys.add("masked_image")
@@ -300,7 +305,7 @@ class HDF5Dataset:
         example = {
             "pixel_values": apply_transforms_rgb(data["image"], self.resolution),
             "masks": apply_transforms_mask(data["mask"], self.resolution),
-            "input_ids": self.tokenize_caption(caption),
+            "input_ids": self.tokenize_caption(caption, rng),
         }
 
         hint_dir = self.kwargs.get("hint_map_dir")
@@ -346,7 +351,7 @@ class MSDDataset(HDF5Dataset):
         self.mirror_prompt = mirror_prompt
         self.caption_column = caption_column
         self.random_flip = kwargs.pop("random_flip", False)
-        self.rng = ThreadSafeRNG(kwargs.pop("seed", None))
+        self.rng = ItemRNG(kwargs.pop("seed", None))
         self.kwargs = kwargs
         self.path_column = path_column
         self.images_dir = self.data_root / "images"
@@ -366,7 +371,7 @@ class MSDDataset(HDF5Dataset):
             "pixel_values": apply_transforms_rgb(image, self.resolution),
             "conditioning_pixel_values": apply_transforms_rgb(masked_image, self.resolution),
             "masks": apply_transforms_mask(orig_mask, self.resolution),
-            "input_ids": self.tokenize_caption(caption),
+            "input_ids": self.tokenize_caption(caption, self.rng.for_item(index)),
         }
         if self.kwargs.get("depth", False):
             depth = np.load(self.depth_dir / image_path.replace("png", "npz"))["depth"]

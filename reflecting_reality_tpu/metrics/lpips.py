@@ -45,7 +45,13 @@ class _Fire(nn.Module):
 
 
 def _maxpool(x):
-    return nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+    # torch MaxPool2d(3, 2, ceil_mode=True): when (n - 3) is odd an extra
+    # window starting at n - 2 is emitted; emulate by right/bottom padding
+    # (max_pool pads with -inf, so the value is the max of the real tail).
+    ph = (x.shape[1] - 3) % 2
+    pw = (x.shape[2] - 3) % 2
+    return nn.max_pool(x, (3, 3), strides=(2, 2),
+                       padding=((0, ph), (0, pw)))
 
 
 class SqueezeFeatures(nn.Module):
@@ -56,7 +62,11 @@ class SqueezeFeatures(nn.Module):
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
         taps = []
-        x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), dtype=self.dtype, name="conv0")(x))
+        # torch Conv2d(3, 64, 3, stride=2) has NO padding (torchvision
+        # squeezenet1_1); flax's default is SAME, which would shift every
+        # downstream tap — use VALID to match the reference trunk.
+        x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), padding="VALID",
+                            dtype=self.dtype, name="conv0")(x))
         taps.append(x)                                   # slice1
         x = _maxpool(x)
         x = _Fire(16, 64, self.dtype, name="fire3")(x)

@@ -57,6 +57,9 @@ class BrushNetModel(nn.Module, ConfigMixin):
     use_linear_projection: bool = False
     flip_sin_to_cos: bool = True
     freq_shift: int = 0
+    # reference brushnet.py:909-916: mean-pool all residuals over spatial
+    # dims (ControlNet-style global conditioning; unused by MirrorFusion)
+    global_pool_conditions: bool = False
     # SDXL variant (cloned from the SDXL unet config by config_from_unet)
     addition_embed_type: Optional[str] = None
     addition_time_embed_dim: int = 256
@@ -235,8 +238,11 @@ class BrushNetModel(nn.Module, ConfigMixin):
             for i, s in enumerate(up_states)
         ]
 
-        # 7. scaling
-        if guess_mode:
+        # 7. scaling (reference brushnet.py:895-916: guess-mode logspace is
+        # bypassed under global pooling, which then mean-pools every residual
+        # over its spatial dims — the pooled (B, 1, 1, C) residuals broadcast
+        # in the unet add-sample injections)
+        if guess_mode and not self.global_pool_conditions:
             n = len(down_res) + 1 + len(up_res)
             scales = jnp.logspace(-1, 0, n) * conditioning_scale
             down_res = [s * scales[i] for i, s in enumerate(down_res)]
@@ -246,6 +252,12 @@ class BrushNetModel(nn.Module, ConfigMixin):
             down_res = [s * conditioning_scale for s in down_res]
             mid_res = mid_res * conditioning_scale
             up_res = [s * conditioning_scale for s in up_res]
+
+        if self.global_pool_conditions:
+            pool = lambda s: jnp.mean(s, axis=(1, 2), keepdims=True)
+            down_res = [pool(s) for s in down_res]
+            mid_res = pool(mid_res)
+            up_res = [pool(s) for s in up_res]
 
         return down_res, mid_res, up_res
 

@@ -155,6 +155,46 @@ class TestHDF5Dataset:
         ex = ds[0]
         np.testing.assert_array_equal(ex["input_ids"], tok([""])[0])
 
+    def test_item_rng_thread_invariant(self, synthetic_dataset):
+        """Augmentation draws are keyed by (seed, epoch, index), never by
+        loader thread scheduling: the same items through 1-worker and
+        8-worker loaders (and direct indexing) are bit-identical, and bumping
+        the epoch resamples (data/rng.py — regression for the per-thread
+        generator that broke K=1 reproducibility)."""
+        root, df = synthetic_dataset
+
+        def make():
+            return HDF5Dataset(root, df, HashTokenizer(), resolution=64,
+                               proportion_empty_prompts=0.5, random_flip=True,
+                               seed=7)
+
+        def epoch_batches(ds, workers):
+            dl = DataLoader(ds, batch_size=2, shuffle=True, num_workers=workers,
+                            seed=3)
+            return list(dl)
+
+        b1 = epoch_batches(make(), 1)
+        b8 = epoch_batches(make(), 8)
+        for x, y in zip(b1, b8):
+            for k in x:
+                np.testing.assert_array_equal(x[k], y[k], err_msg=k)
+
+        # direct indexing at epoch 0 matches too
+        ds_a, ds_b = make(), make()
+        for i in range(4):
+            ex_a, ex_b = ds_a[i], ds_b[i]
+            for k in ex_a:
+                np.testing.assert_array_equal(ex_a[k], ex_b[k], err_msg=k)
+
+        # a different epoch resamples at least one item's draws
+        ds_b.rng.epoch = 1
+        changed = any(
+            not np.array_equal(ds_a[i]["input_ids"], ds_b[i]["input_ids"])
+            or not np.array_equal(ds_a[i]["pixel_values"], ds_b[i]["pixel_values"])
+            for i in range(4)
+        )
+        assert changed
+
 
 class _ArrayDataset:
     """Trivial dataset: index -> {"x": [i, i, i, i]}."""

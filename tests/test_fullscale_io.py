@@ -223,6 +223,60 @@ class TestConfigTraps:
         validate_loaded_params(module, to_flax(fp16_state(ref)), "trap-sdxl-unet")
 
 
+class TestSDXLFullScale:
+    """Real stabilityai/stable-diffusion-xl-base-1.0 UNet config (the SDXL
+    checkpoint layout VERDICT r3 item 7 asks to pin at full scale): per-block
+    transformer depths (1,2,10), heads (5,10,20), text_time added-cond with
+    projection dim 2816, cross_attention_dim 2048."""
+
+    SDXL_UNET = dict(
+        sample_size=128,
+        in_channels=4,
+        out_channels=4,
+        down_block_types=("DownBlock2D", "CrossAttnDownBlock2D",
+                          "CrossAttnDownBlock2D"),
+        up_block_types=("CrossAttnUpBlock2D", "CrossAttnUpBlock2D",
+                        "UpBlock2D"),
+        block_out_channels=(320, 640, 1280),
+        layers_per_block=2,
+        attention_head_dim=(5, 10, 20),
+        transformer_layers_per_block=(1, 2, 10),
+        cross_attention_dim=2048,
+        addition_embed_type="text_time",
+        addition_time_embed_dim=256,
+        projection_class_embeddings_input_dim=2816,
+        use_linear_projection=True,
+    )
+
+    @pytest.mark.medium
+    def test_sdxl_base_unet(self):
+        from diffusers import UNet2DConditionModel as TorchUNet
+
+        from reflecting_reality_tpu.models.unet2d import UNet2DConditionModel
+
+        with torch.no_grad():
+            ref = TorchUNet(**self.SDXL_UNET)
+        module = UNet2DConditionModel.from_config(dict(ref.config))
+        validate_loaded_params(module, to_flax(fp16_state(ref)), "sdxl-unet")
+
+    @pytest.mark.medium
+    def test_sdxl_brushnet_from_unet(self):
+        """BrushNetModel.from_unet over the SDXL config: conv-only twin with
+        the SDXL text_time embedding and its per-resnet zero-conv stacks."""
+        from diffusers import BrushNetModel as TorchBrushNet
+        from diffusers import UNet2DConditionModel as TorchUNet
+
+        from reflecting_reality_tpu.models.brushnet import BrushNetModel
+
+        with torch.no_grad():
+            ref_unet = TorchUNet(**self.SDXL_UNET)
+            ref = TorchBrushNet.from_unet(ref_unet, conditioning_channels=5)
+        cfg = BrushNetModel.config_from_unet(ref_unet.config,
+                                             conditioning_channels=5)
+        module = BrushNetModel.from_config(cfg)
+        validate_loaded_params(module, to_flax(fp16_state(ref)), "sdxl-brushnet")
+
+
 def _flatten(tree, prefix=()):
     for k, v in tree.items():
         if isinstance(v, dict):

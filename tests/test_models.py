@@ -93,6 +93,46 @@ class TestBrushNet:
         )
         np.testing.assert_allclose(np.asarray(y_plain), np.asarray(y_injected), atol=0)
 
+    def test_global_pool_conditions(self):
+        """global_pool_conditions mean-pools every residual over its spatial
+        dims and bypasses the guess-mode logspace (reference
+        models/brushnet.py:895-916); the pooled (B,1,1,C) residuals still
+        broadcast through the unet injections."""
+        cfg = dict(TINY_UNET)
+        cfg.pop("sample_size")
+        bn = BrushNetModel(conditioning_channels=5, **cfg)
+        pooled_bn = BrushNetModel(conditioning_channels=5,
+                                  global_pool_conditions=True, **cfg)
+        rng = jax.random.PRNGKey(1)
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 4))
+        t = jnp.array([10, 500])
+        ehs = jnp.zeros((2, 7, 16))
+        cond = jax.random.normal(jax.random.PRNGKey(4), (2, 16, 16, 5))
+        params = bn.init(rng, x, t, ehs, cond)
+        # perturb the zero convs so residuals are non-trivial
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.01 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape),
+            params)
+
+        down, mid, up = bn.apply(params, x, t, ehs, cond, guess_mode=True)
+        pdown, pmid, pup = pooled_bn.apply(params, x, t, ehs, cond,
+                                           guess_mode=True)
+        for full, pooled in zip(down + [mid] + up, pdown + [pmid] + pup):
+            assert pooled.shape == (2, 1, 1, full.shape[-1])
+        # pooling applies AFTER plain (non-logspace) scaling: pooled residual
+        # == spatial mean of the plain-scaled forward
+        d0, m0, u0 = bn.apply(params, x, t, ehs, cond, guess_mode=False)
+        for plain, pooled in zip(d0 + [m0] + u0, pdown + [pmid] + pup):
+            np.testing.assert_allclose(
+                np.asarray(jnp.mean(plain, axis=(1, 2), keepdims=True)),
+                np.asarray(pooled), rtol=1e-5, atol=1e-6)
+        # broadcast through the unet injections
+        unet, uparams = make_unet()
+        y = unet.apply(uparams, x, t, ehs, down_block_add_samples=pdown,
+                       mid_block_add_sample=pmid, up_block_add_samples=pup)
+        assert y.shape == (2, 16, 16, 4)
+        assert np.isfinite(np.asarray(y)).all()
+
     def test_injection_count_contract(self):
         """UNet consumes exactly 12+1+15 samples; wrong count must fail loudly."""
         unet, uparams = make_unet()
