@@ -139,6 +139,11 @@ def run_inference(args, brushnet_path: str, output_dir: str, test_df) -> None:
         # W8A8 quantized serving (ops/quant.py): ~1.44x the exact denoise
         # rate on v5e; approximation mode — do not use for parity evals
         pipe.enable_int8()
+    if not args.data_parallel:
+        # make params device-resident once (enable_data_parallel already
+        # replicates); without this every jitted call re-uploads the host
+        # param tree as arguments — slow, and wedge-prone on relayed chips
+        pipe.place_params()
     os.makedirs(output_dir, exist_ok=True)
 
     common = dict(

@@ -472,7 +472,9 @@ def run_validation(args, state, unet_module, brushnet_module, vae, text,
     from reflecting_reality_tpu.metrics.functional import psnr_ssim
     from reflecting_reality_tpu.pipelines.brushnet_pipeline import StableDiffusionBrushNetPipeline
 
-    host = jax.device_get(state)
+    from reflecting_reality_tpu.parallel.mesh import fetch_tree
+
+    host = fetch_tree(state)  # bounded-in-flight download (relay-safe)
     unet_params = host.trainable.get("unet", host.frozen.get("unet"))
     normal_proj = None
     if args.normals_conditioning_mode == "ip_adapter":

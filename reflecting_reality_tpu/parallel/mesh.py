@@ -67,8 +67,75 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data",
     return jax.tree_util.tree_map(put, batch)
 
 
-def replicate_tree(tree, mesh: Mesh):
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, replicated(mesh)), tree)
+def _transfer_chunk_bytes(default: int = 1 << 26) -> int:
+    """In-flight transfer bound (bytes). Override: RR_TRANSFER_CHUNK_BYTES."""
+    import os
+
+    try:
+        return int(os.environ.get("RR_TRANSFER_CHUNK_BYTES", default))
+    except ValueError:
+        return default
+
+
+def put_tree(tree, target, sync_every_bytes: int | None = None):
+    """device_put a host pytree with BOUNDED in-flight transfer.
+
+    `target` is a Sharding or a Device.  A naive tree_map(device_put)
+    enqueues every leaf at once; on a relayed / remote TPU backend (this
+    environment: a stdio-multiplexed tunnel with seconds of latency),
+    thousands of concurrent multi-GB async transfers can wedge the
+    transport.  Chunking bounds the outstanding data: after
+    ~sync_every_bytes of puts, a fixed 1-element probe array is round-
+    tripped through the same device — h2d transfers drain FIFO, so the
+    probe's arrival implies the chunk landed.  The probe is a pure
+    transfer (no eager op, no per-shape compiles).  On a local backend the
+    syncs are <1 ms each."""
+    import numpy as np
+
+    if sync_every_bytes is None:
+        sync_every_bytes = _transfer_chunk_bytes()
+    probe = np.zeros((1,), np.float32)
+
+    def _sync():
+        np.asarray(jax.device_get(jax.device_put(probe, target)))
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out, pending = [], 0
+    for x in leaves:
+        out.append(jax.device_put(x, target))
+        pending += int(getattr(x, "nbytes", 0) or 0)
+        if pending >= sync_every_bytes:
+            _sync()
+            pending = 0
+    if pending:
+        _sync()
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def replicate_tree(tree, mesh: Mesh, sync_every_bytes: int | None = None):
+    """Replicate a host pytree onto the mesh (bounded in-flight; see put_tree)."""
+    return put_tree(tree, replicated(mesh), sync_every_bytes)
+
+
+def fetch_tree(tree, chunk_bytes: int | None = None):
+    """device_get a pytree with BOUNDED in-flight download (the mirror of
+    replicate_tree's bounded upload): jax.device_get on a full state starts
+    async device->host copies for EVERY leaf at once, which can wedge a
+    relayed TPU transport; fetching in ~chunk_bytes batches bounds the
+    outstanding data.  Equivalent to jax.device_get on local backends."""
+    if chunk_bytes is None:
+        chunk_bytes = _transfer_chunk_bytes()
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out, batch, pending = [], [], 0
+    for x in leaves:
+        batch.append(x)
+        pending += int(getattr(x, "nbytes", 0) or 0)
+        if pending >= chunk_bytes:
+            out.extend(jax.device_get(batch))
+            batch, pending = [], 0
+    if batch:
+        out.extend(jax.device_get(batch))
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def split_between_processes(items: Sequence, process_index: Optional[int] = None,

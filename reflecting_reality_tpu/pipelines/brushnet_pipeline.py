@@ -227,6 +227,29 @@ class StableDiffusionBrushNetPipeline:
             self.normal_proj = (proj, cast_floating(pparams, d))
         self._jit_cache.clear()
 
+    def place_params(self, device=None, sync_every_bytes=None) -> None:
+        """device_put all model params once (bounded in-flight; see
+        parallel.mesh.put_tree) so repeated jitted calls reference resident
+        device buffers instead of re-uploading host arrays as call arguments
+        — on a relayed TPU backend a full-scale host param tree per call is
+        both slow and can wedge the transport.  Idempotent; no-op cost on
+        local backends."""
+        import jax as _jax
+
+        from reflecting_reality_tpu.parallel.mesh import put_tree
+
+        dev = device or _jax.devices()[0]
+        self.unet_params = put_tree(self.unet_params, dev, sync_every_bytes)
+        self.brushnet_params = put_tree(self.brushnet_params, dev, sync_every_bytes)
+        self.vae_params = put_tree(self.vae_params, dev, sync_every_bytes)
+        self.text_params = put_tree(self.text_params, dev, sync_every_bytes)
+        if self.normal_proj is not None:
+            proj, pparams = self.normal_proj
+            self.normal_proj = (proj, put_tree(pparams, dev, sync_every_bytes))
+        if getattr(self, "text_params_2", None) is not None:  # SDXL subclass
+            self.text_params_2 = put_tree(self.text_params_2, dev,
+                                          sync_every_bytes)
+
     def enable_int8(self, select=None) -> None:
         """W8A8 int8 quantized serving (ops/quant.py): UNet + BrushNet conv
         and dense kernels become per-output-channel int8 (weights quantized
@@ -301,14 +324,17 @@ class StableDiffusionBrushNetPipeline:
             raise ValueError(
                 "enable_data_parallel and enable_sharded_vae are mutually exclusive"
             )
-        import jax as _jax
         from jax.sharding import NamedSharding, PartitionSpec
 
+        from reflecting_reality_tpu.parallel.mesh import put_tree
+
         repl = NamedSharding(mesh, PartitionSpec())
-        # replicate params once so per-call inputs are the only transfers
-        self.unet_params = _jax.device_put(self.unet_params, repl)
-        self.brushnet_params = _jax.device_put(self.brushnet_params, repl)
-        self.vae_params = _jax.device_put(self.vae_params, repl)
+        # replicate params once (bounded in-flight, relay-safe) so per-call
+        # inputs are the only transfers
+        self.unet_params = put_tree(self.unet_params, repl)
+        self.brushnet_params = put_tree(self.brushnet_params, repl)
+        self.vae_params = put_tree(self.vae_params, repl)
+        self.text_params = put_tree(self.text_params, repl)
         self._dp_mesh = (mesh, axis_name)
         self._jit_cache.clear()
 

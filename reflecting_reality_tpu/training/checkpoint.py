@@ -66,7 +66,9 @@ def save_state(output_dir: str, step: int, state, brushnet_module, unet_module,
     path = os.path.join(output_dir, f"checkpoint-{step}")
     os.makedirs(path, exist_ok=True)
 
-    host_state = jax.device_get(state)
+    from reflecting_reality_tpu.parallel.mesh import fetch_tree
+
+    host_state = fetch_tree(state)  # bounded-in-flight download (relay-safe)
     save_pretrained(brushnet_module, host_state.trainable["brushnet"]["params"],
                     os.path.join(path, "brushnet"))
     if "unet" in host_state.trainable:
@@ -132,10 +134,14 @@ class AsyncCheckpointer:
              unet_module, total_limit: Optional[int] = None,
              keep: Iterable[int] = ()) -> None:
         self.wait()
-        for leaf in jax.tree_util.tree_leaves(state):
-            if hasattr(leaf, "copy_to_host_async"):
-                leaf.copy_to_host_async()
-        host_state = jax.device_get(state)  # blocks on the queued DMA only
+        # bounded-in-flight snapshot (see parallel.mesh.fetch_tree): a
+        # copy_to_host_async burst over the whole state can wedge a relayed
+        # TPU transport; chunked fetching bounds the outstanding DMA.  Must
+        # complete before return — the jitted train step donates the state
+        # buffers, so they are gone after the next dispatch.
+        from reflecting_reality_tpu.parallel.mesh import fetch_tree
+
+        host_state = fetch_tree(state)
         keep = tuple(keep)
 
         def run():

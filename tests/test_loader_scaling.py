@@ -34,11 +34,20 @@ def test_native_kernels_release_the_gil(native_available):
 
     released, held, per_call = make_workloads()
     assert per_call > 0.005, "workload too short to discriminate"
-    p95_released = wake_latency_p95(released, seconds=1.5)
-    p95_held = wake_latency_p95(held, seconds=1.5)
-    # held: probe blocks for ~the whole call; released: scheduler noise only
-    assert p95_held > per_call * 0.7, (p95_held, per_call)
-    assert p95_released < p95_held / 3, (p95_released, p95_held)
+    # p95 wake latency is load-sensitive on this shared 1-vCPU box (a
+    # concurrent TPU-relay job can inflate the released-path latencies);
+    # a real GIL hold fails EVERY window, so retry a few quiet windows.
+    last = None
+    for _ in range(4):
+        p95_released = wake_latency_p95(released, seconds=1.5)
+        p95_held = wake_latency_p95(held, seconds=1.5)
+        last = (p95_released, p95_held, per_call)
+        # held: probe blocks for ~the whole call; released: scheduler noise
+        if p95_held > per_call * 0.7 and p95_released < p95_held / 3:
+            return
+    raise AssertionError(
+        f"GIL-release signature absent in 4 windows: released={last[0]:.4f}s "
+        f"held={last[1]:.4f}s per_call={last[2]:.4f}s")
 
 
 def test_no_cross_worker_serialization(tmp_path):
