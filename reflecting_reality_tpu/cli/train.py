@@ -345,6 +345,15 @@ def main(argv=None):
             f"({global_batch} = {args.train_batch_size} x {n_dev} devices)"
         )
     K = max(1, args.steps_per_dispatch)
+    # bf16 input transport: the train step consumes every float input via
+    # .astype(bf16) under --mixed_precision bf16, so casting on the host
+    # before upload is bit-identical and halves host->device input bytes
+    # (pinned by tests/test_training.py::test_bf16_transport_bit_identical).
+    transport_dtype = None
+    if args.input_transport_dtype == "bf16" or (
+            args.input_transport_dtype == "auto"
+            and args.mixed_precision == "bf16"):
+        transport_dtype = jnp.bfloat16
     for name, cadence in (("checkpointing_steps", args.checkpointing_steps),
                           ("validation_steps", args.validation_steps),
                           ("log_every", args.log_every)):
@@ -356,7 +365,8 @@ def main(argv=None):
                 K, name, cadence, K)
     last_fetch_step = first_step
     while step < args.max_train_steps:
-        for batch in prefetch_to_device(iter(loader), mesh, group=K):
+        for batch in prefetch_to_device(iter(loader), mesh, group=K,
+                                        transport_dtype=transport_dtype):
             if step == first_step:
                 logger.info("Compiling train step (first dispatch) ...")
             if K == 1:
@@ -634,6 +644,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "land on dispatch boundaries, so effective cadence is "
                         "max(cadence, K). Prefetched super-batches pin ~2*K "
                         "batches of input data in HBM")
+    p.add_argument("--input_transport_dtype", type=str, default="auto",
+                   choices=["auto", "fp32", "bf16"],
+                   help="host->device dtype for float input batches. 'auto' "
+                        "= bf16 when --mixed_precision bf16 (bit-identical: "
+                        "the step casts every float input to bf16 anyway), "
+                        "halving input upload bytes; 'fp32' forces full-"
+                        "precision transport")
     p.add_argument("--precomputed_latents_dir", type=str, default=None,
                    help="VAE-moments cache from tools/precompute_latents.py; "
                         "training samples from cached moments instead of "

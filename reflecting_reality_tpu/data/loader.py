@@ -92,7 +92,7 @@ class DataLoader:
 
 
 def prefetch_to_device(iterator, mesh=None, size: int | None = None,
-                       group: int = 1):
+                       group: int = 1, transport_dtype=None):
     """Wrap a host batch iterator with a device-put prefetch queue.
 
     With a mesh, batches are sharded on the leading axis (data-parallel);
@@ -103,6 +103,14 @@ def prefetch_to_device(iterator, mesh=None, size: int | None = None,
     cli/train.py --steps_per_dispatch); a partial group at iterator
     exhaustion is yielded with a shorter leading dim, never dropped.
 
+    transport_dtype (e.g. jnp.bfloat16) casts float32 arrays on the HOST
+    before upload, halving host->device bytes.  Bit-identical to uploading
+    f32 whenever the train step consumes every float input through
+    .astype(compute_dtype) (training/train_step.py does: pixels/moments via
+    the VAE-encode cast, masks/depths via selection-only nearest resize then
+    cast) — the cast merely moves across the wire.  Integer arrays
+    (input_ids) are never touched.
+
     size is the prefetch queue depth; queued + in-flight super-batches pin
     up to (size + 1) * group global batches of input data in HBM, so the
     default is 2 for group=1 but 1 when group>1 (one super-batch ahead
@@ -110,12 +118,22 @@ def prefetch_to_device(iterator, mesh=None, size: int | None = None,
     import numpy as np
     import jax
 
+    if transport_dtype is not None:
+        tdtype = np.dtype(transport_dtype)
+
+        def cast(x):
+            x = np.asarray(x)
+            return x.astype(tdtype) if x.dtype == np.float32 else x
+    else:
+        cast = lambda x: x
+
     if mesh is not None:
         from reflecting_reality_tpu.parallel.mesh import shard_batch
 
-        put = lambda b, ax=0: shard_batch(b, mesh, batch_axis=ax)
+        put = lambda b, ax=0: shard_batch(
+            jax.tree_util.tree_map(cast, b), mesh, batch_axis=ax)
     else:
-        put = lambda b, ax=0: jax.device_put(b)
+        put = lambda b, ax=0: jax.device_put(jax.tree_util.tree_map(cast, b))
 
     if group > 1:
         base = iterator

@@ -60,15 +60,34 @@ def prune_checkpoints(output_dir: str, total_limit: Optional[int],
         shutil.rmtree(os.path.join(output_dir, f"checkpoint-{s}"), ignore_errors=True)
 
 
+class _Snapshot:
+    """Host copy of exactly the TrainState leaves a checkpoint writes —
+    trainable, opt_state, ema, step.  The frozen components (vae/text/base
+    unet, ~2 GB bf16 at SD-1.5 scale) are loaded from the base checkpoint on
+    resume and never serialized, so fetching them back from the device per
+    save would be pure device->host waste."""
+
+    __slots__ = ("trainable", "opt_state", "ema", "step")
+
+    def __init__(self, state):
+        from reflecting_reality_tpu.parallel.mesh import fetch_tree
+
+        host = fetch_tree({"trainable": state.trainable,
+                           "opt_state": state.opt_state,
+                           "ema": state.ema, "step": state.step})
+        self.trainable = host["trainable"]
+        self.opt_state = host["opt_state"]
+        self.ema = host["ema"]
+        self.step = host["step"]
+
+
 def save_state(output_dir: str, step: int, state, brushnet_module, unet_module,
                total_limit: Optional[int] = None, keep: Iterable[int] = ()) -> str:
     prune_checkpoints(output_dir, total_limit, keep)
     path = os.path.join(output_dir, f"checkpoint-{step}")
     os.makedirs(path, exist_ok=True)
 
-    from reflecting_reality_tpu.parallel.mesh import fetch_tree
-
-    host_state = fetch_tree(state)  # bounded-in-flight download (relay-safe)
+    host_state = state if isinstance(state, _Snapshot) else _Snapshot(state)
     save_pretrained(brushnet_module, host_state.trainable["brushnet"]["params"],
                     os.path.join(path, "brushnet"))
     if "unet" in host_state.trainable:
@@ -134,14 +153,12 @@ class AsyncCheckpointer:
              unet_module, total_limit: Optional[int] = None,
              keep: Iterable[int] = ()) -> None:
         self.wait()
-        # bounded-in-flight snapshot (see parallel.mesh.fetch_tree): a
-        # copy_to_host_async burst over the whole state can wedge a relayed
-        # TPU transport; chunked fetching bounds the outstanding DMA.  Must
-        # complete before return — the jitted train step donates the state
-        # buffers, so they are gone after the next dispatch.
-        from reflecting_reality_tpu.parallel.mesh import fetch_tree
-
-        host_state = fetch_tree(state)
+        # bounded-in-flight snapshot of only the leaves a checkpoint writes
+        # (see _Snapshot; chunked fetching also keeps a relayed TPU
+        # transport from wedging).  Must complete before return — the
+        # jitted train step donates the state buffers, so they are gone
+        # after the next dispatch.
+        host_state = _Snapshot(state)
         keep = tuple(keep)
 
         def run():

@@ -388,3 +388,44 @@ class TestLearning:
             f"windowed loss did not decrease: first30={first:.4f} last30={last:.4f}")
         e1 = float(eval_loss(final))
         assert e1 < e0, f"held-out denoise loss did not improve: {e0:.4f} -> {e1:.4f}"
+
+
+class TestBF16Transport:
+    """--input_transport_dtype bf16: casting float inputs on the host before
+    upload must be bit-identical to uploading fp32, because the bf16 train
+    step consumes every float input through .astype(bf16) (pixels/moments at
+    the VAE-encode cast; masks/depths via selection-only nearest resize then
+    cast). Guards the loader fast path used by launchers/train_tpu_e2e.sh."""
+
+    def test_bf16_transport_bit_identical(self):
+        step_fn, state = build()
+        # rebuild at bf16 compute (mixed_precision bf16 policy)
+        unet = UNet2DConditionModel(sample_size=2, **CFG)
+        brushnet = BrushNetModel(conditioning_channels=6, **BCFG)
+        vae = AutoencoderKL(block_out_channels=(4, 4, 4, 4), norm_num_groups=2)
+        text = CLIPTextModel(vocab_size=100, hidden_size=16,
+                             num_hidden_layers=1, num_attention_heads=2,
+                             intermediate_size=32)
+        config = TrainConfig(learning_rate=1e-3, lr_warmup_steps=0,
+                             max_train_steps=100)
+        step_bf16, _ = make_train_step(unet, brushnet, vae, text, config,
+                                       dtype=jnp.bfloat16)
+        batch = batch_of(4)
+        cast = {k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v)
+                for k, v in batch.items()}
+        _, m32 = jax.jit(step_bf16)(state, batch, jax.random.PRNGKey(3))
+        _, mb = jax.jit(step_bf16)(state, cast, jax.random.PRNGKey(3))
+        assert float(m32["loss"]) == float(mb["loss"])
+        assert float(m32["grad_norm"]) == float(mb["grad_norm"])
+
+    def test_prefetch_transport_casts_floats_only(self):
+        from reflecting_reality_tpu.data.loader import prefetch_to_device
+
+        batches = [{
+            "pixel_values": np.ones((2, 4, 4, 3), np.float32),
+            "input_ids": np.ones((2, 7), np.int32),
+        }]
+        out = list(prefetch_to_device(iter(batches),
+                                      transport_dtype=jnp.bfloat16))
+        assert out[0]["pixel_values"].dtype == jnp.bfloat16
+        assert out[0]["input_ids"].dtype == jnp.int32
