@@ -44,7 +44,7 @@ enable_default_compilation_cache()
 
 MODES = [
     ("exact", []),
-    ("int8", ["--int8"]),
+    ("int8", ["--int8", "--int8_all"]),
     ("deepcache_2", ["--deep_cache", "2"]),
     ("deepcache_3", ["--deep_cache", "3"]),
     ("encoder_reuse_2", ["--encoder_reuse", "2"]),

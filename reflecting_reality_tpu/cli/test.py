@@ -138,7 +138,9 @@ def run_inference(args, brushnet_path: str, output_dir: str, test_df) -> None:
     if args.int8:
         # W8A8 quantized serving (ops/quant.py): ~1.44x the exact denoise
         # rate on v5e; approximation mode — do not use for parity evals
-        pipe.enable_int8()
+        from reflecting_reality_tpu.ops.quant import select_all
+
+        pipe.enable_int8(select=select_all if args.int8_all else None)
     if not args.data_parallel:
         # make params device-resident once (enable_data_parallel already
         # replicates); without this every jitted call re-uploads the host
@@ -384,6 +386,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--int8", action="store_true",
                    help="W8A8 quantized serving (ops/quant.py): ~1.44x the "
                         "exact denoise rate on v5e; approximation mode")
+    p.add_argument("--int8_all", action="store_true",
+                   help="with --int8: quantize EVERY kernel (ops.quant."
+                        "select_all) instead of only MXU-payoff sizes — for "
+                        "quality evals on tiny configs where the default "
+                        "policy selects nothing")
     p.add_argument("--deep_cache", type=int, default=None,
                    help="DeepCache interval (approximation mode — do not "
                         "use for parity evals)")

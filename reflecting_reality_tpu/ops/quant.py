@@ -58,6 +58,17 @@ def default_select(kernel: jnp.ndarray) -> bool:
     return red >= 256 and out >= 64
 
 
+def select_all(kernel: jnp.ndarray) -> bool:
+    """Quantize every conv/dense kernel regardless of size.  A QUALITY
+    policy, not a perf one: tiny test configs have no kernel that clears
+    default_select's MXU-payoff thresholds, so the quality protocol
+    (benchmarks/benchmark_mode_quality.py) uses this to exercise the
+    quantization math on every layer — strictly more quantization error
+    than the selective full-scale policy, so measured tolerances remain
+    upper bounds."""
+    return kernel.ndim in (2, 4)
+
+
 def quantize_kernel(kernel: jnp.ndarray):
     """Per-output-channel symmetric int8 quantization of a conv/dense kernel
     (out channels on the last axis, flax convention)."""

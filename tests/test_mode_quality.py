@@ -24,7 +24,7 @@ from benchmarks.benchmark_mode_quality import run_quality  # noqa: E402
 
 MODES = [
     ("exact", []),
-    ("int8", ["--int8"]),
+    ("int8", ["--int8", "--int8_all"]),
     ("deepcache_2", ["--deep_cache", "2"]),
     ("encoder_reuse_2", ["--encoder_reuse", "2"]),
 ]
