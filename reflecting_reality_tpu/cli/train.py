@@ -280,23 +280,41 @@ def main(argv=None):
     # relayed chip — the process looks wedged).  On host CPU it is
     # milliseconds; the single replicate_tree below then uploads the whole
     # tree as plain transfers (no per-op dispatches).
-    logger.info("Initializing train state (host) ...")
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        state = init_state(brushnet_params, unet_params, vae[1], text[1],
-                           normal_proj_params=normal_proj[1] if normal_proj else None)
-
-    # resume
+    resume_path = None
     if args.resume_from_checkpoint:
-        path = (ckpt.latest_checkpoint(args.output_dir)
-                if args.resume_from_checkpoint == "latest"
-                else args.resume_from_checkpoint)
-        if path:
-            logger.info("Resuming from %s", path)
-            state = ckpt.load_state(path, state)
+        resume_path = (ckpt.latest_checkpoint(args.output_dir)
+                       if args.resume_from_checkpoint == "latest"
+                       else args.resume_from_checkpoint)
 
     t_up = time.time()
-    logger.info("Uploading train state to the mesh ...")
-    state = replicate_tree(state, mesh)
+    if resume_path:
+        # Resume: checkpoint opt_state/EMA are real data — build the host
+        # template, overwrite from disk, upload everything.
+        logger.info("Initializing train state (host) ...")
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            state = init_state(brushnet_params, unet_params, vae[1], text[1],
+                               normal_proj_params=normal_proj[1] if normal_proj else None)
+        logger.info("Resuming from %s", resume_path)
+        state = ckpt.load_state(resume_path, state)
+        logger.info("Uploading train state to the mesh ...")
+        state = replicate_tree(state, mesh)
+    else:
+        # Fresh start: upload only the param trees and construct
+        # opt_state/EMA on DEVICE with one jitted init — fresh Adam moments
+        # are zeros and the EMA is a cast copy of the params, so uploading
+        # them (~4.5 GB at SD-1.5 scale) would be pure transfer waste.  One
+        # jit keeps it a single dispatch (eager per-leaf init on a relayed
+        # backend is thousands of round-trips).
+        logger.info("Uploading params; initializing opt/EMA state on device ...")
+        up = replicate_tree(
+            {"brushnet": brushnet_params, "unet": unet_params,
+             "vae": vae[1], "text": text[1],
+             "normal_proj": normal_proj[1] if normal_proj else None},
+            mesh)
+        state = jax.jit(
+            lambda p: init_state(p["brushnet"], p["unet"], p["vae"],
+                                 p["text"], normal_proj_params=p["normal_proj"])
+        )(up)
     jax.block_until_ready(state)
     logger.info("State resident in %.1fs", time.time() - t_up)
     raw_step = step_fn
