@@ -61,14 +61,30 @@ TRAIN_FLAGS=(
   --input_transport_dtype auto
 )
 
+# The relayed TPU transport can drop mid-transfer; parallel.mesh raises
+# TransferStalled after RR_TRANSFER_TIMEOUT_S instead of hanging, and this
+# loop restarts the phase (training resumes from checkpoint-latest).
+export RR_TRANSFER_TIMEOUT_S=${RR_TRANSFER_TIMEOUT_S:-600}
+retry() { # retry <attempts> <log> cmd...
+  local n=$1 log=$2 i; shift 2
+  for i in $(seq 1 "$n"); do
+    if "$@" 2>&1 | tee -a "$log"; then return 0; fi
+    echo "== attempt $i/$n failed; retrying in 30s ==" | tee -a "$log"
+    sleep 30
+  done
+  echo "== giving up after $n attempts ==" | tee -a "$log"
+  return 1
+}
+
 echo "== train: 400 steps =="
-python -m reflecting_reality_tpu.cli.train "${TRAIN_FLAGS[@]}" \
-    --max_train_steps 400 2>&1 | tee "$LOG/train_400.log"
+retry 3 "$LOG/train_400.log" \
+  python -m reflecting_reality_tpu.cli.train "${TRAIN_FLAGS[@]}" \
+      --max_train_steps 400 --resume_from_checkpoint latest
 
 echo "== resume: +50 steps =="
-python -m reflecting_reality_tpu.cli.train "${TRAIN_FLAGS[@]}" \
-    --max_train_steps 450 --resume_from_checkpoint latest \
-    2>&1 | tee "$LOG/train_resume.log"
+retry 3 "$LOG/train_resume.log" \
+  python -m reflecting_reality_tpu.cli.train "${TRAIN_FLAGS[@]}" \
+      --max_train_steps 450 --resume_from_checkpoint latest
 
 echo "== generate: cli/test.py --use_ema from checkpoint-450 =="
 python -m reflecting_reality_tpu.cli.test \

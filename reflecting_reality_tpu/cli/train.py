@@ -311,10 +311,15 @@ def main(argv=None):
              "vae": vae[1], "text": text[1],
              "normal_proj": normal_proj[1] if normal_proj else None},
             mesh)
+        # donate the uploaded params: without it the jit COPIES every param
+        # into fresh output buffers and the tree is resident twice (~+4 GB
+        # at SD-1.5 scale — an instant OOM next to the optimizer state).
         state = jax.jit(
             lambda p: init_state(p["brushnet"], p["unet"], p["vae"],
-                                 p["text"], normal_proj_params=p["normal_proj"])
+                                 p["text"], normal_proj_params=p["normal_proj"]),
+            donate_argnums=(0,),
         )(up)
+        del up
     jax.block_until_ready(state)
     logger.info("State resident in %.1fs", time.time() - t_up)
     raw_step = step_fn

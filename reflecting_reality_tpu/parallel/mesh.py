@@ -77,6 +77,55 @@ def _transfer_chunk_bytes(default: int = 1 << 26) -> int:
         return default
 
 
+class TransferStalled(RuntimeError):
+    """A bulk device transfer made no progress within the stall timeout.
+
+    Raised instead of blocking forever: a relayed/remote TPU transport can
+    drop mid-transfer and never complete the outstanding copy, which parks
+    the process in an uninterruptible device wait.  Failing fast lets a
+    wrapper (e.g. launchers/train_tpu_e2e.sh's retry loop) restart the
+    process and resume from the last checkpoint."""
+
+
+def _transfer_timeout_s(default: float = 600.0) -> float:
+    """Per-chunk stall timeout (seconds); 0 disables. RR_TRANSFER_TIMEOUT_S."""
+    import os
+
+    try:
+        return float(os.environ.get("RR_TRANSFER_TIMEOUT_S", default))
+    except ValueError:
+        return default
+
+
+def _timed_get(arrays, what: str):
+    """jax.device_get with a stall timeout (see TransferStalled).  Runs the
+    blocking fetch in a worker thread; if it does not finish in time the
+    worker is abandoned (daemonic — the process is expected to exit)."""
+    timeout = _transfer_timeout_s()
+    if not timeout:
+        return jax.device_get(arrays)
+    import threading
+
+    out, err = [], []
+
+    def run():
+        try:
+            out.append(jax.device_get(arrays))
+        except BaseException as e:  # surfaced below
+            err.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout)
+    if t.is_alive():
+        raise TransferStalled(
+            f"{what}: no completion within {timeout:.0f}s "
+            f"(RR_TRANSFER_TIMEOUT_S) — transport presumed wedged")
+    if err:
+        raise err[0]
+    return out[0]
+
+
 def put_tree(tree, target, sync_every_bytes: int | None = None):
     """device_put a host pytree with BOUNDED in-flight transfer.
 
@@ -97,7 +146,7 @@ def put_tree(tree, target, sync_every_bytes: int | None = None):
     probe = np.zeros((1,), np.float32)
 
     def _sync():
-        np.asarray(jax.device_get(jax.device_put(probe, target)))
+        np.asarray(_timed_get(jax.device_put(probe, target), "put_tree sync"))
 
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     out, pending = [], 0
@@ -131,10 +180,10 @@ def fetch_tree(tree, chunk_bytes: int | None = None):
         batch.append(x)
         pending += int(getattr(x, "nbytes", 0) or 0)
         if pending >= chunk_bytes:
-            out.extend(jax.device_get(batch))
+            out.extend(_timed_get(batch, "fetch_tree chunk"))
             batch, pending = [], 0
     if batch:
-        out.extend(jax.device_get(batch))
+        out.extend(_timed_get(batch, "fetch_tree tail"))
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
