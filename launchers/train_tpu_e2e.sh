@@ -65,6 +65,10 @@ TRAIN_FLAGS=(
 # TransferStalled after RR_TRANSFER_TIMEOUT_S instead of hanging, and this
 # loop restarts the phase (training resumes from checkpoint-latest).
 export RR_TRANSFER_TIMEOUT_S=${RR_TRANSFER_TIMEOUT_S:-600}
+# gentler bulk-transfer profile for the relay: smaller in-flight chunks +
+# a short pause between them (no-ops on healthy local transports)
+export RR_TRANSFER_CHUNK_BYTES=${RR_TRANSFER_CHUNK_BYTES:-$((16 * 1024 * 1024))}
+export RR_TRANSFER_PACE_S=${RR_TRANSFER_PACE_S:-0.05}
 retry() { # retry <attempts> <log> cmd...
   local n=$1 log=$2 i; shift 2
   for i in $(seq 1 "$n"); do

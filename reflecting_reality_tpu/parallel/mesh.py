@@ -148,6 +148,16 @@ def put_tree(tree, target, sync_every_bytes: int | None = None):
     def _sync():
         np.asarray(_timed_get(jax.device_put(probe, target), "put_tree sync"))
 
+    import os
+    import time
+
+    # optional inter-chunk pause (seconds): gives a flaky relay transport
+    # breathing room between bulk chunks; 0 (default) on healthy links.
+    try:
+        pace = float(os.environ.get("RR_TRANSFER_PACE_S", 0.0))
+    except ValueError:
+        pace = 0.0
+
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     out, pending = [], 0
     for x in leaves:
@@ -156,6 +166,8 @@ def put_tree(tree, target, sync_every_bytes: int | None = None):
         if pending >= sync_every_bytes:
             _sync()
             pending = 0
+            if pace:
+                time.sleep(pace)
     if pending:
         _sync()
     return jax.tree_util.tree_unflatten(treedef, out)
