@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--cached_latents", action="store_true",
                     help="feed precomputed VAE moments (tools/precompute_latents.py "
                          "path) instead of pixels — skips both in-step encodes")
+    ap.add_argument("--ema", action="store_true",
+                    help="include the EMA shadow update (bf16 storage) -- the "
+                         "E2E launcher config; costs HBM headroom, so the "
+                         "no-EMA rows are NOT comparable to EMA runs")
     ap.add_argument("--frozen_fp32", action="store_true",
                     help="keep FROZEN params (unet/vae/text) in fp32 storage; "
                          "default stores them bf16 per the reference "
@@ -75,6 +79,7 @@ def main():
         learning_rate=1e-5, depth_conditioning_mode="concat",
         gradient_checkpointing=args.remat,
         gradient_checkpointing_policy=args.remat_policy,
+        use_ema=args.ema, ema_dtype="bf16" if args.ema else "fp32",
     )
     step_fn, init_state = make_train_step(unet, brushnet, vae, text, config, dtype=dtype)
     if not args.frozen_fp32:
@@ -187,6 +192,7 @@ def main():
         best = min(best, (t2 - t1) / (n2 - n1))
     sps = 1.0 / best
     note = (f"train step bs={b} frozen-unet depth-concat"
+            + (" ema-bf16" if args.ema else "")
             + ("" if args.frozen_fp32 else " frozen-bf16")
             + (" remat" if args.remat else "")
             + (f" policy={args.remat_policy}" if args.remat and args.remat_policy != "full" else "")

@@ -387,8 +387,18 @@ def main(argv=None):
                 "effective cadence is once per %d-step dispatch",
                 K, name, cadence, K)
     last_fetch_step = first_step
+
+    def epochs():
+        # one continuous batch stream across epochs: per-epoch shuffling and
+        # item-RNG epoch advance happen inside loader.__iter__, but K-step
+        # super-batches never hit an epoch-tail partial group (a partial
+        # dispatch compiles a second program and halves the dispatch
+        # amortization on small datasets where K > batches-per-epoch)
+        while True:
+            yield from iter(loader)
+
     while step < args.max_train_steps:
-        for batch in prefetch_to_device(iter(loader), mesh, group=K,
+        for batch in prefetch_to_device(epochs(), mesh, group=K,
                                         transport_dtype=transport_dtype):
             if step == first_step:
                 logger.info("Compiling train step (first dispatch) ...")
