@@ -387,6 +387,53 @@ def main(argv=None):
                 "effective cadence is once per %d-step dispatch",
                 K, name, cadence, K)
     last_fetch_step = first_step
+    pending_metrics = None  # (prev, step, metrics) of the last dispatch
+
+    def drain_metrics(pend_prev, pend_step, metrics):
+        """Fetch + log a dispatch's metric stack.
+
+        Called AFTER the next dispatch has been submitted (one-dispatch
+        deferral): the blocking device_get's completion+round-trip then
+        overlaps the next dispatch's device compute instead of serializing
+        with it — on a relayed chip that round trip is 1-3 s per dispatch.
+        Cost: the non-finite-loss abort fires one dispatch later (one extra
+        dispatch of wasted compute on a poisoned run)."""
+        nonlocal t0, last_fetch_step, nan_steps
+        logged = [s for s in range(pend_prev + 1, pend_step + 1)
+                  if s % args.log_every == 0]
+        if not logged:
+            return
+        m = jax.device_get(metrics)
+        losses = np.asarray(m["loss"]).reshape(-1)
+        gnorms = np.asarray(m["grad_norm"]).reshape(-1)
+        sps = (pend_step - last_fetch_step) / (time.time() - t0)
+        t0 = time.time()
+        last_fetch_step = pend_step
+        for s in logged:
+            i = min(s - pend_prev - 1, len(losses) - 1)
+            log_to_trackers(trackers, {
+                "loss": float(losses[i]),
+                "grad_norm": float(gnorms[i]),
+                "steps_per_sec": round(sps, 3),
+            }, s)
+            # Failure detection the reference lacks: a non-finite loss
+            # poisons AdamW state from that step on; stop with a clear
+            # message (and a usable last checkpoint) instead of training
+            # to max_steps on NaN weights.
+            if not np.isfinite(losses[i]):
+                nan_steps += 1
+                logger.error("non-finite loss %s at step %d (%d/%d)",
+                             losses[i], s, nan_steps,
+                             args.max_nonfinite_steps)
+                if nan_steps >= args.max_nonfinite_steps:
+                    ckpt.save_state(args.output_dir, step, state,
+                                    brushnet_module, unet_module,
+                                    total_limit=None, keep=custom_steps)
+                    raise FloatingPointError(
+                        f"loss non-finite for {nan_steps} consecutive "
+                        f"logged steps; aborting at step {step}")
+            else:
+                nan_steps = 0
 
     def epochs():
         # one continuous batch stream across epochs: per-epoch shuffling and
@@ -416,39 +463,13 @@ def main(argv=None):
             prev, step = step, step + done
             window = range(prev + 1, step + 1)
 
-            logged = [s for s in window if s % args.log_every == 0]
-            if logged:
-                m = jax.device_get(metrics)
-                losses = np.asarray(m["loss"]).reshape(-1)
-                gnorms = np.asarray(m["grad_norm"]).reshape(-1)
-                sps = (step - last_fetch_step) / (time.time() - t0)
-                t0 = time.time()
-                last_fetch_step = step
-                for s in logged:
-                    i = min(s - prev - 1, len(losses) - 1)
-                    log_to_trackers(trackers, {
-                        "loss": float(losses[i]),
-                        "grad_norm": float(gnorms[i]),
-                        "steps_per_sec": round(sps, 3),
-                    }, s)
-                    # Failure detection the reference lacks: a non-finite
-                    # loss poisons AdamW state from that step on; stop with
-                    # a clear message (and a usable last checkpoint) instead
-                    # of training to max_steps on NaN weights.
-                    if not np.isfinite(losses[i]):
-                        nan_steps += 1
-                        logger.error("non-finite loss %s at step %d (%d/%d)",
-                                     losses[i], s, nan_steps,
-                                     args.max_nonfinite_steps)
-                        if nan_steps >= args.max_nonfinite_steps:
-                            ckpt.save_state(args.output_dir, step, state,
-                                            brushnet_module, unet_module,
-                                            total_limit=None, keep=custom_steps)
-                            raise FloatingPointError(
-                                f"loss non-finite for {nan_steps} consecutive "
-                                f"logged steps; aborting at step {step}")
-                    else:
-                        nan_steps = 0
+            # this dispatch is submitted (async); NOW drain the previous
+            # one's metrics so the fetch overlaps this dispatch's compute
+            if pending_metrics is not None:
+                drain_metrics(*pending_metrics)
+                pending_metrics = None
+            if any(s % args.log_every == 0 for s in window):
+                pending_metrics = (prev, step, metrics)
 
             rounded_custom = custom_steps.intersection(window) - {step}
             if any(s % args.checkpointing_steps == 0 for s in window) \
@@ -491,6 +512,9 @@ def main(argv=None):
             if step >= args.max_train_steps:
                 break
 
+    if pending_metrics is not None:
+        drain_metrics(*pending_metrics)
+        pending_metrics = None
     if async_saver is not None:
         async_saver.wait()  # surface any background write error before exit
     ckpt.save_state(args.output_dir, step, state, brushnet_module, unet_module,
