@@ -212,6 +212,7 @@ def main():
     with open(args.out, "a", newline="") as f:
         csv.writer(f).writerow(
             [f"train_step_{args.resolution}_bs{b}"
+             + ("_ema" if args.ema else "")
              + ("_remat" if args.remat else "")
              + (f"_{args.remat_policy}" if args.remat and args.remat_policy != "full" else "")
              + ("_cached" if args.cached_latents else ""),

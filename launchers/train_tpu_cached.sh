@@ -78,9 +78,10 @@ retry 3 "$LOG/train.log" \
     --seed 0 \
     --dataloader_num_workers 4 \
     --proportion_empty_prompts 0.2 \
-    --steps_per_dispatch 50 \
+    --steps_per_dispatch 100 \
     --input_transport_dtype auto \
     --compilation_cache_dir "$REPO/.jax_cache" \
+    --device_cache \
     --max_train_steps "$STEPS" --resume_from_checkpoint latest
 
 echo "== summary =="

@@ -181,6 +181,15 @@ def main(argv=None):
     dtype = {"no": jnp.float32, "fp16": jnp.float32, "bf16": jnp.bfloat16}[
         args.mixed_precision
     ]
+    # bf16 input transport: the train step consumes every float input via
+    # .astype(bf16) under --mixed_precision bf16, so casting on the host
+    # before upload is bit-identical and halves host->device input bytes
+    # (pinned by tests/test_training.py::TestBF16Transport).
+    transport_dtype = None
+    if args.input_transport_dtype == "bf16" or (
+            args.input_transport_dtype == "auto"
+            and args.mixed_precision == "bf16"):
+        transport_dtype = jnp.bfloat16
 
     t_load = time.time()
     logger.info("Loading models from %s ...", args.pretrained_model_name_or_path)
@@ -210,6 +219,24 @@ def main(argv=None):
             caption_column=args.caption_column,
             seed=args.seed,
         )
+        if args.device_cache:
+            # device-resident dataset (train_step.resolve_device_cache):
+            # ship the whole moments cache to the accelerator once; the
+            # per-step host->device path shrinks to index + input_ids
+            from reflecting_reality_tpu.data.latent_cache import (
+                DeviceCacheIndexDataset, materialize_cache)
+
+            max_gb = float(os.environ.get("RR_DEVICE_CACHE_MAX_GB", 4.0))
+            host_cache = materialize_cache(
+                dataset, transport_dtype=transport_dtype,
+                max_bytes=int(max_gb * 1e9))
+            dataset = DeviceCacheIndexDataset(dataset)
+            logger.info(
+                "Device cache: %d samples, %.2f GB resident",
+                len(dataset),
+                sum(v.nbytes for v in host_cache.values()) / 1e9)
+    elif args.device_cache:
+        raise SystemExit("--device_cache requires --precomputed_latents_dir")
     else:
         ds_cls = {"synmirror": HDF5Dataset, "msd": MSDDataset}[args.dataset_type]
         dataset = ds_cls(
@@ -322,7 +349,26 @@ def main(argv=None):
         del up
     jax.block_until_ready(state)
     logger.info("State resident in %.1fs", time.time() - t_up)
-    raw_step = step_fn
+
+    device_cache = None
+    if args.device_cache:
+        # one-time upload of the whole sample cache; per-step inputs are
+        # then index + input_ids only (train_step.resolve_device_cache)
+        device_cache = replicate_tree(host_cache, mesh)
+        jax.block_until_ready(device_cache)
+        del host_cache
+
+    from reflecting_reality_tpu.training.train_step import resolve_device_cache
+
+    base_step = step_fn
+
+    def raw_step(state, batch, rng):
+        if "index" in batch:  # device-cache mode: batch carries the cache
+            batch = resolve_device_cache(
+                {"index": batch["index"], "input_ids": batch["input_ids"]},
+                batch["cache"])
+        return base_step(state, batch, rng)
+
     step_fn = jax.jit(raw_step, donate_argnums=(0,))
 
     # --steps_per_dispatch K > 1: scan K steps per dispatch over a stacked
@@ -337,10 +383,14 @@ def main(argv=None):
 
     def multi_step_fn(k):
         if k not in multi_cache:
-            def multi(state, batches, rng):
+            def multi(state, batches, rng, cache):
+                # `cache` (device-resident dataset, or None) rides outside
+                # the scanned xs — every step gathers its rows by index
                 def body(carry, batch):
                     state, rng = carry
                     rng, sub = jax.random.split(rng)
+                    if cache is not None:
+                        batch = dict(batch, cache=cache)
                     state, metrics = raw_step(state, batch, sub)
                     return (state, rng), metrics
                 (state, rng), metrics = jax.lax.scan(body, (state, rng), batches)
@@ -368,15 +418,6 @@ def main(argv=None):
             f"({global_batch} = {args.train_batch_size} x {n_dev} devices)"
         )
     K = max(1, args.steps_per_dispatch)
-    # bf16 input transport: the train step consumes every float input via
-    # .astype(bf16) under --mixed_precision bf16, so casting on the host
-    # before upload is bit-identical and halves host->device input bytes
-    # (pinned by tests/test_training.py::test_bf16_transport_bit_identical).
-    transport_dtype = None
-    if args.input_transport_dtype == "bf16" or (
-            args.input_transport_dtype == "auto"
-            and args.mixed_precision == "bf16"):
-        transport_dtype = jnp.bfloat16
     for name, cadence in (("checkpointing_steps", args.checkpointing_steps),
                           ("validation_steps", args.validation_steps),
                           ("log_every", args.log_every)):
@@ -444,13 +485,21 @@ def main(argv=None):
         while True:
             yield from iter(loader)
 
+    # RR_LOOP_TIMING=1: log per-dispatch phase durations (batch-wait /
+    # submit / metric-drain / events) to attribute loop overhead on remote
+    # transports; off by default (one wall-clock read per phase otherwise).
+    loop_timing = bool(os.environ.get("RR_LOOP_TIMING"))
+    t_loop = time.time()
     while step < args.max_train_steps:
         for batch in prefetch_to_device(epochs(), mesh, group=K,
                                         transport_dtype=transport_dtype):
+            t_batch = time.time()
             if step == first_step:
                 logger.info("Compiling train step (first dispatch) ...")
             if K == 1:
                 rng, step_rng = jax.random.split(rng)
+                if device_cache is not None:
+                    batch = dict(batch, cache=device_cache)
                 state, metrics = step_fn(state, batch, step_rng)
                 done = 1
             else:
@@ -458,10 +507,12 @@ def main(argv=None):
                 k = min(k, args.max_train_steps - step)  # never overshoot
                 if k < jax.tree_util.tree_leaves(batch)[0].shape[0]:
                     batch = jax.tree_util.tree_map(lambda x: x[:k], batch)
-                state, metrics, rng = multi_step_fn(k)(state, batch, rng)
+                state, metrics, rng = multi_step_fn(k)(
+                    state, batch, rng, device_cache)
                 done = k
             prev, step = step, step + done
             window = range(prev + 1, step + 1)
+            t_submit = time.time()
 
             # this dispatch is submitted (async); NOW drain the previous
             # one's metrics so the fetch overlaps this dispatch's compute
@@ -470,6 +521,16 @@ def main(argv=None):
                 pending_metrics = None
             if any(s % args.log_every == 0 for s in window):
                 pending_metrics = (prev, step, metrics)
+            if loop_timing:
+                t_drain = time.time()
+                logger.info(
+                    "loop timing step %d: batch_wait=%.2fs submit=%.2fs "
+                    "drain=%.2fs events=%.2fs",
+                    step, t_batch - t_loop, t_submit - t_batch,
+                    t_drain - t_submit, 0.0)
+                t_loop = t_drain
+            else:
+                t_loop = time.time()
 
             rounded_custom = custom_steps.intersection(window) - {step}
             if any(s % args.checkpointing_steps == 0 for s in window) \
@@ -712,6 +773,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="VAE-moments cache from tools/precompute_latents.py; "
                         "training samples from cached moments instead of "
                         "encoding pixels every step")
+    p.add_argument("--device_cache", action="store_true",
+                   help="with --precomputed_latents_dir: upload the ENTIRE "
+                        "moments cache to the accelerator once and gather "
+                        "batches by index on device — per-step host->device "
+                        "input shrinks to index+input_ids (~KB). Needs the "
+                        "cache to fit in HBM next to the train state "
+                        "(~150 KB/sample at 512²; cap RR_DEVICE_CACHE_MAX_GB, "
+                        "default 4)")
     p.add_argument("--max_nonfinite_steps", type=int, default=3,
                    help="abort (after a final checkpoint) once the loss is "
                         "non-finite for this many consecutive logged steps")

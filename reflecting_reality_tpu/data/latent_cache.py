@@ -83,3 +83,62 @@ class LatentCachedDataset:
         example["input_ids"] = self.tokenize_caption(
             str(row[self.caption_column]), self.rng.for_item(index))
         return example
+
+
+class DeviceCacheIndexDataset:
+    """Index-only view over a LatentCachedDataset for device-resident-cache
+    training (cli/train.py --device_cache): the sample ARRAYS live on the
+    accelerator (uploaded once by `materialize_cache`), so the host path per
+    step is just the index and the tokenized caption.  Tokenization keeps
+    LatentCachedDataset's exact item-RNG stream, so input_ids (incl. the
+    empty-prompt dropout draws) are bit-identical to the host-cached path.
+    """
+
+    def __init__(self, inner: LatentCachedDataset):
+        self.inner = inner
+        self.rng = inner.rng  # DataLoader advances .rng.epoch per pass
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        row = self.inner.df.iloc[index]
+        return {
+            "index": np.asarray(index, np.int32),
+            "input_ids": self.inner.tokenize_caption(
+                str(row[self.inner.caption_column]),
+                self.inner.rng.for_item(index)),
+        }
+
+
+def materialize_cache(dataset: LatentCachedDataset, transport_dtype=None,
+                      max_bytes: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """Stack the whole moments cache into host arrays {key: (N, ...)} ready
+    for a one-time device upload.  Float arrays are cast to transport_dtype
+    (bf16 under the bf16 step: bit-identical, the step casts anyway).
+    Raises if the estimated footprint exceeds max_bytes (the cache must fit
+    in HBM next to the train state)."""
+    n = len(dataset)
+    first = {k: v for k, v in dataset[0].items() if k != "input_ids"}
+    per_sample = sum(v.nbytes // (2 if transport_dtype is not None and
+                                  v.dtype == np.float32 else 1)
+                     for v in first.values())
+    total = per_sample * n
+    if max_bytes is not None and total > max_bytes:
+        raise ValueError(
+            f"device cache would need {total / 1e9:.2f} GB for {n} samples "
+            f"({per_sample / 1e3:.0f} KB each) > limit {max_bytes / 1e9:.2f} GB"
+            " — raise RR_DEVICE_CACHE_MAX_GB or drop --device_cache")
+    tdtype = np.dtype(transport_dtype) if transport_dtype is not None else None
+
+    def cast(x):
+        return x.astype(tdtype) if tdtype is not None and x.dtype == np.float32 else x
+
+    out = {k: np.empty((n,) + v.shape, tdtype if tdtype is not None and
+                       v.dtype == np.float32 else v.dtype)
+           for k, v in first.items()}
+    for i in range(n):
+        sample = dataset[i]
+        for k in out:
+            out[k][i] = cast(np.asarray(sample[k]))
+    return out

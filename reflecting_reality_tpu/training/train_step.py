@@ -127,6 +127,22 @@ def make_optimizer(config: TrainConfig, data_parallel_size: int = 1,
     return tx, schedule
 
 
+def resolve_device_cache(batch, cache):
+    """Materialize a per-step batch from a device-resident sample cache.
+
+    `cache` holds the ENTIRE precomputed-latents dataset as device arrays
+    (N, ...) — at latent resolution SynMirror is ~150 KB/sample, so even
+    100K samples fit one chip's HBM with room to spare.  The host then
+    ships only `index` (B,) int32 + `input_ids` per step and the rows are
+    gathered on device — eliminating the per-step host->device input
+    upload entirely (on relayed/remote transports that upload serializes
+    with execution and dominates the step; see logs/e2e_r04/SUMMARY.md).
+    No reference analogue (torch DataLoaders re-ship every batch)."""
+    full = {k: jnp.take(v, batch["index"], axis=0) for k, v in cache.items()}
+    full["input_ids"] = batch["input_ids"]
+    return full
+
+
 def assemble_conditioning_latents(
     vae_module, vae_params, batch: Dict[str, jnp.ndarray], rng: jax.Array,
     config: TrainConfig, dtype=jnp.float32,

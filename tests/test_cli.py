@@ -521,3 +521,56 @@ def test_use_ema_inference_journey(env, tmp_path):
     a = np.asarray(Image.open(os.path.join(raw_dir, raw_png)), np.int16)
     b = np.asarray(Image.open(os.path.join(ema_dir, raw_png)), np.int16)
     assert np.abs(a - b).max() > 0
+
+
+@pytest.mark.integration
+@pytest.mark.medium
+def test_device_cache_matches_host_cache(env, tmp_path):
+    """--device_cache (device-resident moments, gather-by-index) must log
+    the SAME loss stream as the host-cached path: same shuffle order, same
+    item-RNG input_ids, same moments — only the transport differs."""
+    import json
+
+    from reflecting_reality_tpu.cli import train as train_cli
+    from reflecting_reality_tpu.tools import precompute_latents
+
+    base, data = env
+    cache = str(tmp_path / "cache")
+    precompute_latents.main([
+        "--pretrained_model_name_or_path", base,
+        "--train_data_dir", data,
+        "--output_dir", cache,
+        "--resolution", "64",
+        "--batch_size", "2",
+        "--depth_conditioning_mode", "concat",
+    ])
+
+    def run(extra, out):
+        train_cli.main([
+            "--pretrained_model_name_or_path", base,
+            "--train_data_dir", data,
+            "--precomputed_latents_dir", cache,
+            "--output_dir", str(tmp_path / out),
+            "--logging_dir", str(tmp_path / out / "logs"),
+            "--report_to", "jsonl",
+            "--resolution", "64",
+            "--train_batch_size", "1",
+            "--max_train_steps", "4",
+            "--checkpointing_steps", "100",
+            "--learning_rate", "1e-4",
+            "--depth_conditioning_mode", "concat",
+            "--validation_steps", "0",
+            "--log_every", "1",
+            "--seed", "0",
+        ] + extra)
+        rows = [json.loads(l) for l in
+                open(tmp_path / out / "logs" / "metrics.jsonl")]
+        return [r["loss"] for r in rows if "loss" in r]
+
+    host = run([], "host_cache")
+    dev = run(["--device_cache"], "device_cache")
+    assert len(host) == 4
+    np.testing.assert_allclose(dev, host, rtol=2e-4)
+    # K>1 path over the device cache too
+    dev_k = run(["--device_cache", "--steps_per_dispatch", "2"], "device_k2")
+    np.testing.assert_allclose(dev_k, host, rtol=2e-4)

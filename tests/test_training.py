@@ -429,3 +429,83 @@ class TestBF16Transport:
                                       transport_dtype=jnp.bfloat16))
         assert out[0]["pixel_values"].dtype == jnp.bfloat16
         assert out[0]["input_ids"].dtype == jnp.int32
+
+
+class TestDeviceCache:
+    """Device-resident sample cache (train_step.resolve_device_cache +
+    data.latent_cache.{DeviceCacheIndexDataset, materialize_cache}): gather-
+    by-index batches must be BIT-IDENTICAL to shipping the same rows from
+    host, and the materializer must honor dtype/limit contracts."""
+
+    def test_gathered_step_equals_direct(self):
+        step_fn, state = build()
+        rng = jax.random.PRNGKey(7)
+        # a "dataset" of 6 cached samples; batch = rows [4, 1]
+        r = np.random.RandomState(3)
+        n, hl, wl = 6, 2, 2
+        cache = {
+            "latent_moments": jnp.asarray(r.randn(n, hl, wl, 8), jnp.float32),
+            "cond_latent_moments": jnp.asarray(r.randn(n, hl, wl, 8), jnp.float32),
+            "masks": jnp.asarray((r.rand(n, hl, wl, 1) > 0.5), jnp.float32),
+            "depths": jnp.asarray(r.randn(n, hl, wl, 1), jnp.float32),
+        }
+        ids = jnp.asarray(r.randint(0, 100, (2, 7)), jnp.int32)
+        idx = jnp.asarray([4, 1], jnp.int32)
+
+        direct = {k: v[idx] for k, v in cache.items()}
+        direct["input_ids"] = ids
+        _, m_direct = jax.jit(step_fn)(state, direct, rng)
+
+        from reflecting_reality_tpu.training.train_step import resolve_device_cache
+
+        gathered = resolve_device_cache({"index": idx, "input_ids": ids}, cache)
+        _, m_gathered = jax.jit(step_fn)(state, gathered, rng)
+        np.testing.assert_array_equal(
+            np.asarray(m_direct["loss"]), np.asarray(m_gathered["loss"]))
+        np.testing.assert_array_equal(
+            np.asarray(m_direct["grad_norm"]), np.asarray(m_gathered["grad_norm"]))
+
+    def test_materialize_and_index_dataset(self, tmp_path):
+        from reflecting_reality_tpu.data.latent_cache import (
+            DeviceCacheIndexDataset, LatentCachedDataset, materialize_cache)
+
+        import pandas as pd
+
+        n = 4
+        df = pd.DataFrame({
+            "uid": [f"u{i}" for i in range(n)],
+            "path": [f"obj/u{i}.hdf5" for i in range(n)],
+            "auto_caption": [f"a caption {i}" for i in range(n)],
+        })
+        r = np.random.RandomState(0)
+        for i in range(n):
+            np.savez(tmp_path / f"u{i}_u{i}.npz",
+                     latent_moments=r.randn(2, 2, 8).astype(np.float32),
+                     cond_latent_moments=r.randn(2, 2, 8).astype(np.float32),
+                     masks=(r.rand(2, 2, 1) > 0.5).astype(np.float32),
+                     depths=r.randn(2, 2, 1).astype(np.float32))
+
+        tok = lambda texts: [np.arange(7, dtype=np.int32) for _ in texts]
+        ds = LatentCachedDataset(str(tmp_path), df, tok, seed=0,
+                                 proportion_empty_prompts=0.5)
+        cache = materialize_cache(ds, transport_dtype=jnp.bfloat16)
+        assert cache["latent_moments"].shape == (n, 2, 2, 8)
+        assert cache["latent_moments"].dtype == jnp.bfloat16
+        assert cache["masks"].dtype == jnp.bfloat16
+        assert "input_ids" not in cache
+
+        # the bf16 cast must equal casting the host sample directly
+        np.testing.assert_array_equal(
+            cache["depths"][2],
+            np.asarray(ds[2]["depths"]).astype(jnp.bfloat16))
+
+        # index dataset: same length, same input_ids RNG stream as inner
+        view = DeviceCacheIndexDataset(ds)
+        assert len(view) == n
+        s = view[1]
+        assert int(s["index"]) == 1
+        np.testing.assert_array_equal(s["input_ids"], ds[1]["input_ids"])
+
+        # footprint guard
+        with pytest.raises(ValueError, match="device cache would need"):
+            materialize_cache(ds, max_bytes=10)
