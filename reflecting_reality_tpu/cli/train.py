@@ -190,6 +190,11 @@ def main(argv=None):
             args.input_transport_dtype == "auto"
             and args.mixed_precision == "bf16"):
         transport_dtype = jnp.bfloat16
+    # ip_adapter mode consumes batch['normals'] at fp32 (train_step.py
+    # freq_encode with bands to 2^5) — exempt it from the host-side cast or
+    # the 'bit-identical transport' invariant would silently break.
+    transport_exempt = (
+        ("normals",) if args.normals_conditioning_mode == "ip_adapter" else ())
 
     t_load = time.time()
     logger.info("Loading models from %s ...", args.pretrained_model_name_or_path)
@@ -229,7 +234,8 @@ def main(argv=None):
             max_gb = float(os.environ.get("RR_DEVICE_CACHE_MAX_GB", 4.0))
             host_cache = materialize_cache(
                 dataset, transport_dtype=transport_dtype,
-                max_bytes=int(max_gb * 1e9))
+                max_bytes=int(max_gb * 1e9),
+                transport_exempt=transport_exempt)
             dataset = DeviceCacheIndexDataset(dataset)
             logger.info(
                 "Device cache: %d samples, %.2f GB resident",
@@ -481,9 +487,18 @@ def main(argv=None):
         # item-RNG epoch advance happen inside loader.__iter__, but K-step
         # super-batches never hit an epoch-tail partial group (a partial
         # dispatch compiles a second program and halves the dispatch
-        # amortization on small datasets where K > batches-per-epoch)
-        while True:
-            yield from iter(loader)
+        # amortization on small datasets where K > batches-per-epoch).
+        # Bounded at exactly the batches the loop will consume, so the
+        # prefetch producer thread drains and exits with the loop instead of
+        # loading/uploading super-batches nobody reads while the final state
+        # fetch and checkpoint write compete for transport bandwidth.
+        remaining = args.max_train_steps - first_step
+        while remaining > 0:
+            for b in iter(loader):
+                yield b
+                remaining -= 1
+                if remaining <= 0:
+                    return
 
     # RR_LOOP_TIMING=1: log per-dispatch phase durations (batch-wait /
     # submit / metric-drain / events) to attribute loop overhead on remote
@@ -492,7 +507,8 @@ def main(argv=None):
     t_loop = time.time()
     while step < args.max_train_steps:
         for batch in prefetch_to_device(epochs(), mesh, group=K,
-                                        transport_dtype=transport_dtype):
+                                        transport_dtype=transport_dtype,
+                                        transport_exempt=transport_exempt):
             t_batch = time.time()
             if step == first_step:
                 logger.info("Compiling train step (first dispatch) ...")

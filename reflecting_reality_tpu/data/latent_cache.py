@@ -112,17 +112,20 @@ class DeviceCacheIndexDataset:
 
 
 def materialize_cache(dataset: LatentCachedDataset, transport_dtype=None,
-                      max_bytes: Optional[int] = None) -> Dict[str, np.ndarray]:
+                      max_bytes: Optional[int] = None,
+                      transport_exempt: tuple = ()) -> Dict[str, np.ndarray]:
     """Stack the whole moments cache into host arrays {key: (N, ...)} ready
     for a one-time device upload.  Float arrays are cast to transport_dtype
-    (bf16 under the bf16 step: bit-identical, the step casts anyway).
-    Raises if the estimated footprint exceeds max_bytes (the cache must fit
-    in HBM next to the train state)."""
+    (bf16 under the bf16 step: bit-identical, the step casts anyway), except
+    keys in transport_exempt (e.g. 'normals' under ip_adapter mode, consumed
+    at fp32 by freq_encode).  Raises if the estimated footprint exceeds
+    max_bytes (the cache must fit in HBM next to the train state)."""
     n = len(dataset)
     first = {k: v for k, v in dataset[0].items() if k != "input_ids"}
     per_sample = sum(v.nbytes // (2 if transport_dtype is not None and
+                                  k not in transport_exempt and
                                   v.dtype == np.float32 else 1)
-                     for v in first.values())
+                     for k, v in first.items())
     total = per_sample * n
     if max_bytes is not None and total > max_bytes:
         raise ValueError(
@@ -131,14 +134,13 @@ def materialize_cache(dataset: LatentCachedDataset, transport_dtype=None,
             " — raise RR_DEVICE_CACHE_MAX_GB or drop --device_cache")
     tdtype = np.dtype(transport_dtype) if transport_dtype is not None else None
 
-    def cast(x):
-        return x.astype(tdtype) if tdtype is not None and x.dtype == np.float32 else x
+    def casts_to_t(k, v):
+        return tdtype is not None and k not in transport_exempt and v.dtype == np.float32
 
-    out = {k: np.empty((n,) + v.shape, tdtype if tdtype is not None and
-                       v.dtype == np.float32 else v.dtype)
+    out = {k: np.empty((n,) + v.shape, tdtype if casts_to_t(k, v) else v.dtype)
            for k, v in first.items()}
     for i in range(n):
         sample = dataset[i]
         for k in out:
-            out[k][i] = cast(np.asarray(sample[k]))
+            out[k][i] = np.asarray(sample[k]).astype(out[k].dtype, copy=False)
     return out

@@ -92,7 +92,8 @@ class DataLoader:
 
 
 def prefetch_to_device(iterator, mesh=None, size: int | None = None,
-                       group: int = 1, transport_dtype=None):
+                       group: int = 1, transport_dtype=None,
+                       transport_exempt: tuple = ()):
     """Wrap a host batch iterator with a device-put prefetch queue.
 
     With a mesh, batches are sharded on the leading axis (data-parallel);
@@ -109,7 +110,11 @@ def prefetch_to_device(iterator, mesh=None, size: int | None = None,
     .astype(compute_dtype) (training/train_step.py does: pixels/moments via
     the VAE-encode cast, masks/depths via selection-only nearest resize then
     cast) — the cast merely moves across the wire.  Integer arrays
-    (input_ids) are never touched.
+    (input_ids) are never touched.  Keys in transport_exempt stay fp32:
+    cli/train.py exempts 'normals' under normals_conditioning_mode=
+    'ip_adapter', where the step consumes the raw mirror-normal vector at
+    fp32 through freq_encode (bands to 2^5 — bf16 rounding of the vector
+    would change the encoding, breaking the bit-identical invariant).
 
     size is the prefetch queue depth; queued + in-flight super-batches pin
     up to (size + 1) * group global batches of input data in HBM, so the
@@ -124,16 +129,22 @@ def prefetch_to_device(iterator, mesh=None, size: int | None = None,
         def cast(x):
             x = np.asarray(x)
             return x.astype(tdtype) if x.dtype == np.float32 else x
+
+        def cast_batch(b):
+            if isinstance(b, dict):
+                return {k: (v if k in transport_exempt
+                            else jax.tree_util.tree_map(cast, v))
+                        for k, v in b.items()}
+            return jax.tree_util.tree_map(cast, b)
     else:
-        cast = lambda x: x
+        cast_batch = lambda b: b
 
     if mesh is not None:
         from reflecting_reality_tpu.parallel.mesh import shard_batch
 
-        put = lambda b, ax=0: shard_batch(
-            jax.tree_util.tree_map(cast, b), mesh, batch_axis=ax)
+        put = lambda b, ax=0: shard_batch(cast_batch(b), mesh, batch_axis=ax)
     else:
-        put = lambda b, ax=0: jax.device_put(jax.tree_util.tree_map(cast, b))
+        put = lambda b, ax=0: jax.device_put(cast_batch(b))
 
     if group > 1:
         base = iterator

@@ -44,8 +44,14 @@ def checkpoint_steps(output_dir: str):
 
 
 def latest_checkpoint(output_dir: str) -> Optional[str]:
-    steps = checkpoint_steps(output_dir)
-    return os.path.join(output_dir, f"checkpoint-{steps[-1]}") if steps else None
+    # Skip directories lacking train_state.msgpack (a crash mid-write could
+    # only leave one via pre-atomic-rename checkpoints; a retrying launcher
+    # must not resume from such a partial directory).
+    for s in reversed(checkpoint_steps(output_dir)):
+        path = os.path.join(output_dir, f"checkpoint-{s}")
+        if os.path.isfile(os.path.join(path, "train_state.msgpack")):
+            return path
+    return None
 
 
 def prune_checkpoints(output_dir: str, total_limit: Optional[int],
@@ -84,7 +90,13 @@ class _Snapshot:
 def save_state(output_dir: str, step: int, state, brushnet_module, unet_module,
                total_limit: Optional[int] = None, keep: Iterable[int] = ()) -> str:
     prune_checkpoints(output_dir, total_limit, keep)
-    path = os.path.join(output_dir, f"checkpoint-{step}")
+    final = os.path.join(output_dir, f"checkpoint-{step}")
+    # Atomic publish: write everything into checkpoint-N.tmp, fsync-free
+    # rename at the end.  A crash mid-write leaves only a .tmp directory,
+    # which _CKPT_RE never matches, so latest_checkpoint() and a retrying
+    # launcher see either a complete checkpoint or none (ADVICE r4).
+    path = final + ".tmp"
+    shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
 
     host_state = state if isinstance(state, _Snapshot) else _Snapshot(state)
@@ -115,7 +127,9 @@ def save_state(output_dir: str, step: int, state, brushnet_module, unet_module,
         f.write(flax.serialization.to_bytes(
             {"step": host_state.step, "opt_state": host_state.opt_state}
         ))
-    return path
+    shutil.rmtree(final, ignore_errors=True)  # re-save of the same step
+    os.rename(path, final)
+    return final
 
 
 class AsyncCheckpointer:

@@ -347,6 +347,39 @@ class TestAsyncCheckpointer:
             saver.wait()
         saver.wait()  # error is consumed; subsequent waits are clean
 
+    def test_atomic_publish_and_partial_skip(self, tmp_path):
+        """save_state publishes via checkpoint-N.tmp + rename, so a crashed
+        write never leaves a checkpoint-N that latest_checkpoint would pick
+        (ADVICE r4: a retry loop must not resume from a partial dir)."""
+        import os
+
+        from reflecting_reality_tpu.training import checkpoint as ckpt
+
+        step_fn, state = build()
+        unet = UNet2DConditionModel(sample_size=2, **CFG)
+        brushnet = BrushNetModel(conditioning_channels=6, **BCFG)
+
+        out = str(tmp_path / "out")
+        ckpt.save_state(out, 5, state, brushnet, unet)
+        assert ckpt.latest_checkpoint(out).endswith("checkpoint-5")
+        assert not os.path.exists(os.path.join(out, "checkpoint-5.tmp"))
+
+        # simulate a crash mid-write of step 10: files exist but no
+        # train_state.msgpack and no rename happened
+        os.makedirs(os.path.join(out, "checkpoint-10.tmp", "brushnet"))
+        assert ckpt.latest_checkpoint(out).endswith("checkpoint-5")
+
+        # even a renamed-but-truncated dir (legacy partial) is skipped
+        os.makedirs(os.path.join(out, "checkpoint-20", "brushnet"))
+        assert ckpt.latest_checkpoint(out).endswith("checkpoint-5")
+
+        # re-saving the same step replaces the partial dir cleanly
+        ckpt.save_state(out, 20, state, brushnet, unet)
+        assert ckpt.latest_checkpoint(out).endswith("checkpoint-20")
+        restored = ckpt.load_state(os.path.join(out, "checkpoint-20"), state)
+        assert int(jax.device_get(restored.step)) == int(
+            jax.device_get(state.step))
+
 
 class TestLearning:
     """Learning, not just plumbing (VERDICT r2 item 6): a few hundred
@@ -429,6 +462,47 @@ class TestBF16Transport:
                                       transport_dtype=jnp.bfloat16))
         assert out[0]["pixel_values"].dtype == jnp.bfloat16
         assert out[0]["input_ids"].dtype == jnp.int32
+
+    def test_prefetch_transport_exempt_keeps_normals_fp32(self):
+        # ip_adapter mode: train_step consumes batch['normals'] at fp32
+        # through freq_encode (ADVICE r4) — the exempted key must cross the
+        # wire uncast while everything else still shrinks to bf16.
+        from reflecting_reality_tpu.data.loader import prefetch_to_device
+
+        batches = [{
+            "pixel_values": np.ones((2, 4, 4, 3), np.float32),
+            "normals": np.full((2, 1, 3), 1 / 3, np.float32),
+            "input_ids": np.ones((2, 7), np.int32),
+        }]
+        out = list(prefetch_to_device(iter(batches),
+                                      transport_dtype=jnp.bfloat16,
+                                      transport_exempt=("normals",)))
+        assert out[0]["pixel_values"].dtype == jnp.bfloat16
+        assert out[0]["normals"].dtype == jnp.float32
+        # the value bf16 would corrupt survives exactly
+        np.testing.assert_array_equal(np.asarray(out[0]["normals"]),
+                                      np.full((2, 1, 3), np.float32(1 / 3)))
+
+    def test_materialize_cache_transport_exempt(self):
+        from reflecting_reality_tpu.data.latent_cache import materialize_cache
+
+        class FakeDS:
+            def __len__(self):
+                return 3
+
+            def __getitem__(self, i):
+                return {
+                    "latent_moments": np.full((2, 2, 8), i, np.float32),
+                    "normals": np.full((1, 3), 1 / 3, np.float32),
+                    "input_ids": np.ones((7,), np.int32),
+                }
+
+        cache = materialize_cache(FakeDS(), transport_dtype=jnp.bfloat16,
+                                  transport_exempt=("normals",))
+        assert cache["latent_moments"].dtype == np.dtype(jnp.bfloat16)
+        assert cache["normals"].dtype == np.float32
+        np.testing.assert_array_equal(
+            cache["normals"], np.full((3, 1, 3), np.float32(1 / 3)))
 
 
 class TestDeviceCache:
