@@ -140,3 +140,86 @@ class TestCamPoseMap:
         assert len(m) >= 1  # identity cam2world for both -> same key collapses
         entry = next(iter(m.values()))
         assert set(entry) == {"point", "ratio_w", "ratio_h", "floor_path"}
+
+
+class TestVerifySynmirror:
+    """Ingest verification (tools/verify_synmirror.py): schema manifest,
+    index coverage, corruption detection, and manifest comparison — the
+    de-risk tool for first contact with the real SynMirror corpus."""
+
+    @pytest.fixture()
+    def data_dir(self, tmp_path):
+        # own fresh corpus: the module fixture's CSVs are rewritten by
+        # TestCreateSplits, and index coverage needs the original index
+        pytest.importorskip("h5py")
+        d = tmp_path / "corpus"
+        make_synmirror_data(str(d), n=3, size=32)
+        return str(d)
+
+    def test_clean_corpus_manifest(self, data_dir, tmp_path):
+        from reflecting_reality_tpu.tools.verify_synmirror import main
+
+        manifest_path = str(tmp_path / "manifest.json")
+        rc = main(["--data_dir", data_dir, "--csv", "train.csv",
+                   "--manifest", manifest_path, "--checksums"])
+        assert rc == 0
+        m = json.load(open(manifest_path))
+        assert m["n_files"] == 3 and m["corrupt"] == []
+        assert m["index"]["missing_rows"] == []
+        assert m["index"]["orphan_files"] == []
+        rec = m["files"]["obj/0.hdf5"]
+        assert rec["keys"]["colors"]["dtype"] == "uint8"
+        assert rec["keys"]["colors"]["shape"] == [32, 32, 3]
+        assert len(rec["sha256"]) == 64
+
+    def test_schema_violations_detected(self, tmp_path):
+        import h5py
+
+        from reflecting_reality_tpu.tools.verify_synmirror import inspect_file
+
+        bad = tmp_path / "bad.hdf5"
+        with h5py.File(bad, "w") as f:
+            f["colors"] = np.random.rand(16, 16, 3).astype(np.float32)  # wrong kind
+            f["category_id_segmaps"] = np.ones((16, 16), np.uint8)
+            f["depth"] = np.random.rand(8, 8).astype(np.float32)  # dim mismatch
+            # normals missing entirely
+        rec = inspect_file(str(bad), content_scan=False)
+        joined = "; ".join(rec["errors"])
+        assert "missing key normals" in joined
+        assert "colors" in joined and "kind" in joined
+        assert "inconsistent spatial dims" in joined
+
+    def test_index_coverage_and_rc(self, data_dir, tmp_path):
+        import shutil
+
+        from reflecting_reality_tpu.tools.verify_synmirror import main
+
+        broken = tmp_path / "broken"
+        shutil.copytree(data_dir, broken)
+        os.remove(broken / "obj/2.hdf5")  # row now missing on disk
+        rc = main(["--data_dir", str(broken), "--csv", "train.csv"])
+        assert rc == 1
+
+    def test_manifest_comparison_detects_drift(self, data_dir, tmp_path):
+        import shutil
+
+        import h5py
+
+        from reflecting_reality_tpu.tools.verify_synmirror import main
+
+        ref = str(tmp_path / "ref.json")
+        assert main(["--data_dir", data_dir, "--csv", "train.csv",
+                     "--manifest", ref, "--checksums"]) == 0
+
+        copy = tmp_path / "copy"
+        shutil.copytree(data_dir, copy)
+        # identical copy verifies clean
+        assert main(["--data_dir", str(copy), "--csv", "train.csv",
+                     "--checksums", "--expect", ref]) == 0
+        # corrupt one byte-level plane -> sha mismatch reported
+        with h5py.File(copy / "obj/1.hdf5", "r+") as f:
+            d = np.array(f["depth"])
+            del f["depth"]
+            f["depth"] = d + 1e-3
+        assert main(["--data_dir", str(copy), "--csv", "train.csv",
+                     "--checksums", "--expect", ref]) == 1
