@@ -38,12 +38,20 @@ import jax.numpy as jnp
 
 
 def build_denoise(batch, steps, dtype=jnp.bfloat16):
-    from benchmark_mirrorfusion import build_models, denoise_inputs, make_denoise
+    """EXACTLY the bench.py headline program (flash attention backend,
+    BrushNet CFG dedup, precomputed temb tables, bf16 weights) — a trace of
+    any other variant would attribute time to ops the headline never runs
+    (the first capture of this tool profiled einsum attention by accident:
+    1 GiB fp32 logits per layer, +9 ms/step)."""
+    import bench
 
-    unet, uparams, brushnet, bparams = build_models(dtype)
-    denoise = make_denoise(unet, brushnet, steps, batch, 64, dtype)  # jitted
-    inputs = denoise_inputs(batch, 64, dtype)
-    return denoise, (uparams, bparams) + inputs
+    bench.set_attention_backend("flash")
+    unet, uparams, brushnet, bparams = bench.build(dtype)
+    denoise = bench.make_denoise(unet, brushnet, steps, batch, dtype)  # jitted
+    latents = jax.random.normal(jax.random.PRNGKey(2), (batch, 64, 64, 4), jnp.float32)
+    cond = jax.random.normal(jax.random.PRNGKey(3), (batch, 64, 64, 6), jnp.float32)
+    embeds = jax.random.normal(jax.random.PRNGKey(4), (2 * batch, 77, 768), jnp.float32)
+    return denoise, (uparams, bparams, latents, cond, embeds)
 
 
 def capture(logdir, fn, args):
@@ -67,13 +75,19 @@ def tool_table(xspaces, tool):
     data, _ = raw_to_tool_data.xspace_to_tool_data(xspaces, tool, {})
     if isinstance(data, bytes):
         data = data.decode("utf-8", errors="replace")
-    # hlo_stats / framework_op_stats arrive as gviz CSV or JSON; handle both
+    # hlo_stats / framework_op_stats arrive as gviz JSON ({cols, rows}) or
+    # CSV depending on xprof vintage; normalize both to list-of-dicts
     try:
         parsed = json.loads(data)
-        return parsed
     except (json.JSONDecodeError, TypeError):
-        rows = list(csv.DictReader(io.StringIO(data)))
-        return rows
+        return list(csv.DictReader(io.StringIO(data)))
+    if isinstance(parsed, dict) and "cols" in parsed and "rows" in parsed:
+        labels = [c.get("label") or c.get("id") for c in parsed["cols"]]
+        return [
+            {lab: (cell or {}).get("v") for lab, cell in zip(labels, r["c"])}
+            for r in parsed["rows"]
+        ]
+    return parsed
 
 
 def summarize_hlo(rows, top):
@@ -96,11 +110,17 @@ def summarize_hlo(rows, top):
             continue
         table.append({
             "time_us": t,
-            "category": fget(r, "hlo_category", "category") or "?",
-            "name": (fget(r, "hlo_op_expression", "hlo_op_name", "op_name")
-                     or "?"),
-            "flops_rate": fget(r, "measured_gflops/sec", "gflops/sec"),
-            "bw": fget(r, "measured_memory_bw_(gb/sec)", "memory_bw_(gb/sec)"),
+            "category": fget(r, "hlo_op_category", "hlo_category",
+                             "category") or "?",
+            "name": (fget(r, "hlo_op_name", "op_name") or "?"),
+            "expression": fget(r, "hlo_op_text", "hlo_op_expression") or "",
+            "flops_rate": fget(r, "model_gflop/s", "normalized_gflop/s",
+                               "measured_gflops/sec", "gflops/sec"),
+            "bw": fget(r, "measured_memory_bw_(gib/s)",
+                       "measured_memory_bw_(gb/sec)", "memory_bw_(gb/sec)"),
+            "hbm_bw": fget(r, "hbm_bw_(gib/s)"),
+            "intensity": fget(r, "operational_intensity_(flops/byte)"),
+            "bound_by": fget(r, "bound_by"),
             "occurrences": fget(r, "#occurrences", "occurrences"),
         })
     table.sort(key=lambda r: -r["time_us"])
@@ -118,11 +138,14 @@ def main(argv=None):
     p.add_argument("--list_tools", action="store_true")
     p.add_argument("--csv_out", default=None,
                    help="dump the FULL ranked table as csv")
+    p.add_argument("--parse_only", action="store_true",
+                   help="skip capture; parse an existing --logdir trace")
     args = p.parse_args(argv)
 
     logdir = args.logdir or f"/tmp/rr_trace_bs{args.batch}"
-    fn, inputs = build_denoise(args.batch, args.steps)
-    capture(logdir, fn, inputs)
+    if not args.parse_only:
+        fn, inputs = build_denoise(args.batch, args.steps)
+        capture(logdir, fn, inputs)
     xspaces = find_xspaces(logdir)
     if not xspaces:
         print("ERROR: no xplane.pb produced — device tracing unsupported "
@@ -144,13 +167,14 @@ def main(argv=None):
     nsteps = args.steps
     print(f"\ntotal device self-time {total/1e3:.2f} ms over {nsteps} steps "
           f"(bs={args.batch}) = {total/1e3/nsteps:.2f} ms/step")
-    print(f"{'share':>6} {'us/step':>9} {'category':<22} "
-          f"{'GF/s':>8} {'GB/s':>7}  name")
+    print(f"{'share':>6} {'us/step':>9} {'category':<18} {'GF/s':>8} "
+          f"{'GiB/s':>7} {'F/B':>6} {'bound':>7}  name")
     for r in top:
         print(f"{r['time_us']/total*100:>5.1f}% {r['time_us']/nsteps:>9.1f} "
-              f"{r['category'][:22]:<22} "
-              f"{str(r['flops_rate'] or ''):>8} {str(r['bw'] or ''):>7}  "
-              f"{r['name'][:90]}")
+              f"{str(r['category'])[:18]:<18} "
+              f"{str(r['flops_rate'] or ''):>8} {str(r['bw'] or ''):>7} "
+              f"{str(r['intensity'] or ''):>6} {str(r['bound_by'] or ''):>7}  "
+              f"{str(r['name'])[:60]}")
     if args.csv_out:
         full, _ = summarize_hlo(rows, len(rows))
         with open(args.csv_out, "w", newline="") as f:
