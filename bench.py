@@ -139,6 +139,49 @@ def measure(unet, uparams, brushnet, bparams, batch, dtype, steps_pair=(10, 50))
     return [1.0 / ((b - a) / (n2 - n1)) for a, b in zip(t1s, t2s)]
 
 
+def measure_protocol_e2e(steps=50, seeds=4, n_samples=6, reps=2):
+    """TRUE end-to-end eval-protocol rate (VERDICT r4 item 5): full pipeline
+    calls — host preprocess, packed upload, text encode, conditioning
+    assembly, 50-step denoise scan, VAE decode, device uint8, fetch,
+    postprocess — over distinct samples with the CLI's one-deep overlapped
+    drive (output_type="device"), 4 batched seeds per sample (the reference
+    protocol, test_brushnet.py:248-259).  Returns images/s/chip."""
+    from benchmarks.benchmark_pipeline_512 import build_pipe
+
+    pipe = build_pipe(jnp.bfloat16)
+    pipe.cast_params()
+    H = W = 512
+
+    def sample_kwargs(i):
+        r = np.random.RandomState(100 + i)
+        mask = np.zeros((H, W, 3), np.float32)
+        mask[128:384, 128:384] = 1.0
+        return dict(
+            prompt=f"A perfect plane mirror reflection of object {i}",
+            image=r.rand(H, W, 3).astype(np.float32), mask=mask,
+            depth=r.rand(H, W, 1).astype(np.float32),
+            height=H, width=W, num_inference_steps=steps,
+            guidance_scale=7.5, seed=42, num_images_per_prompt=seeds,
+        )
+
+    pipe(**sample_kwargs(0))  # warm: compiles ride the persistent cache
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        pending = None
+        for i in range(n_samples):
+            h = pipe(**sample_kwargs(i), output_type="device")
+            if pending is not None:
+                pipe.image_processor.postprocess(
+                    np.asarray(pending), output_type="pil")
+            pending = h
+        out = pipe.image_processor.postprocess(
+            np.asarray(pending), output_type="pil")
+        assert len(out) == seeds
+        best = min(best, (time.time() - t0) / n_samples)
+    return seeds / best, best
+
+
 def main():
     # Pallas flash attention: 33.6 steps/s vs 16.0 with the einsum path
     # (measured on v5e; the 4096-token self-attention dominates).
@@ -150,12 +193,12 @@ def main():
     steps_per_s = max(ests)  # min-of-3 time == best steps/s
     spread = (max(ests) - min(ests)) / min(ests)
 
-    # Protocol workload (VERDICT r3 item 6): the reference eval runs 4 seeds
-    # per sample (test_brushnet.py:248-259) which we batch as bs=4; report
-    # images/s/chip at 50 UniPC steps so BENCH tracks the deliverable
-    # workload, not just the bs=1 latency headline.
+    # kernel-basis bs=4 rate, kept for round-over-round continuity with
+    # BENCH_r04's protocol_steps_per_sec_bs4
     ests4 = measure(unet, uparams, brushnet, bparams, 4, dtype)
-    protocol_img_per_s = max(ests4) / 50.0 * 4
+
+    # the tracked protocol metric is END-TO-END (not kernel-derived)
+    protocol_img_per_s, per_sample_s = measure_protocol_e2e()
 
     print(json.dumps({
         "metric": "mirrorfusion_512_denoise_steps_per_sec_per_chip",
@@ -164,10 +207,12 @@ def main():
         "vs_baseline": round(steps_per_s / A100_BASELINE_STEPS_PER_S, 3),
         "runs": [round(e, 3) for e in ests],
         "spread_frac": round(spread, 4),
-        "protocol_metric": "mirrorfusion_512_protocol_images_per_sec_per_chip",
+        "protocol_metric": "mirrorfusion_512_protocol_e2e_images_per_sec_per_chip",
         "protocol_value": round(protocol_img_per_s, 4),
-        "protocol_unit": "images/s (4 seeds batched, 50 UniPC steps)",
-        "protocol_steps_per_sec_bs4": round(max(ests4), 3),
+        "protocol_unit": "images/s e2e (4 seeds/sample, 50 UniPC steps, "
+                         "overlapped sweep incl. host+encode+decode+fetch)",
+        "protocol_s_per_sample": round(per_sample_s, 3),
+        "kernel_steps_per_sec_bs4": round(max(ests4), 3),
     }))
 
 

@@ -517,17 +517,34 @@ class StableDiffusionBrushNetPipeline:
 
     @functools.cached_property
     def _encode_sample(self):
-        def f(params, image, rng):
+        def f(params, image, rng, reps=1):
             dist = self.vae_module.apply(params, image.astype(self.dtype), method=self.vae_module.encode)
+            if reps > 1:
+                # Seeds share the conditioning image: encode the UNIQUE rows
+                # once and broadcast the moments; each seed still draws its
+                # own sampling eps (the eps shape/rng are those of the full
+                # batch, and the encoder is row-independent) at 1/reps the
+                # encoder cost.  Equivalent to encoding the host-repeated
+                # batch up to cross-program ulp drift (the bs=uniq encoder
+                # is a different XLA program than the bs=batch one).
+                from reflecting_reality_tpu.models.vae import DiagonalGaussian
+
+                dist = DiagonalGaussian(
+                    jnp.repeat(dist.mean, reps, axis=0),
+                    jnp.repeat(dist.logvar, reps, axis=0),
+                )
             return dist.sample(rng) * self.scaling_factor
-        return jax.jit(f)
+        return jax.jit(f, static_argnums=(3,))
 
     @functools.cached_property
     def _encode_mode(self):
-        def f(params, image):
+        def f(params, image, reps=1):
             dist = self.vae_module.apply(params, image.astype(self.dtype), method=self.vae_module.encode)
-            return dist.mode * self.scaling_factor
-        return jax.jit(f)
+            lat = dist.mode * self.scaling_factor
+            if reps > 1:
+                lat = jnp.repeat(lat, reps, axis=0)
+            return lat
+        return jax.jit(f, static_argnums=(2,))
 
     # ---------------------------------------------------------------- sampler
 
@@ -984,9 +1001,12 @@ class StableDiffusionBrushNetPipeline:
         # 3ch mask -> 1 = keep, 0 = mirror hole (reference :1139)
         mask_np = (mask_np.sum(-1, keepdims=True) < 0).astype(np.float32)
 
-        if image_np.shape[0] == 1 and batch_size > 1:
-            image_np = np.repeat(image_np, batch_size, axis=0)
-            mask_np = np.repeat(mask_np, batch_size, axis=0)
+        # Seeds (num_images_per_prompt) share the conditioning planes: keep
+        # the UNIQUE rows on host and expand on device after the VAE-encode
+        # (4 seeds = 1/4 the upload bytes and 1/4 the encoder FLOPs;
+        # bit-identical — see _encode_sample's moment broadcast).
+        reps = batch_size if (image_np.shape[0] == 1 and batch_size > 1) else 1
+        uniq = image_np.shape[0]
 
         hl, wl = h // self.vae_scale_factor, w // self.vae_scale_factor
 
@@ -998,19 +1018,19 @@ class StableDiffusionBrushNetPipeline:
             if self.depth_conditioning_mode not in ("concat", "latents"):
                 raise ValueError(self.depth_conditioning_mode)
             depth_np = self.image_processor.preprocess(depth, h, w)[..., :1]
-            if depth_np.shape[0] == 1 and batch_size > 1:
-                depth_np = np.repeat(depth_np, batch_size, axis=0)
+            if depth_np.shape[0] == 1 and uniq > 1:
+                depth_np = np.repeat(depth_np, uniq, axis=0)
         if self.normals_conditioning_mode in ("concat", "latents"):
             if normals is None:
                 raise ValueError(
                     "normals_conditioning_mode set but no normals given")
             normals_np = self.image_processor.preprocess(normals, h, w)
-            if normals_np.shape[0] == 1 and batch_size > 1:
-                normals_np = np.repeat(normals_np, batch_size, axis=0)
+            if normals_np.shape[0] == 1 and uniq > 1:
+                normals_np = np.repeat(normals_np, uniq, axis=0)
 
         # 3. conditioning latents (device)
         enc = (
-            (lambda p, x, r: self._encode_mode(p, x))
+            (lambda p, x, r, reps=1: self._encode_mode(p, x, reps))
             if deterministic_vae_encode else self._encode_sample
         )
         # Host->device transfer policy: ONE packed upload carries
@@ -1053,25 +1073,28 @@ class StableDiffusionBrushNetPipeline:
         def down(a):  # interpolate_nearest's indices, applied on device
             return a[:, rows][:, :, cols]
 
-        cond = enc(self.vae_params, image_dev, rng_vae)
-        cond = jnp.concatenate([cond, down(mask_dev).astype(cond.dtype)], axis=-1)
+        def rep(a):  # unique conditioning rows -> one row per seed
+            return jnp.repeat(a, reps, axis=0) if reps > 1 else a
+
+        cond = enc(self.vae_params, image_dev, rng_vae, reps)
+        cond = jnp.concatenate([cond, rep(down(mask_dev)).astype(cond.dtype)], axis=-1)
 
         if depth_np is not None:
             if self.depth_conditioning_mode == "concat":
                 cond = jnp.concatenate(
-                    [cond, down(depth_dev).astype(cond.dtype)], axis=-1)
+                    [cond, rep(down(depth_dev)).astype(cond.dtype)], axis=-1)
             else:  # "latents": 3-channel repeat -> VAE encode
                 dlat = enc(self.vae_params,
-                           jnp.repeat(depth_dev, 3, axis=-1), rng_dep)
+                           jnp.repeat(depth_dev, 3, axis=-1), rng_dep, reps)
                 cond = jnp.concatenate([cond, dlat.astype(cond.dtype)], axis=-1)
 
         brushnet_embeds = prompt_embeds
         if normals_np is not None:
             if self.normals_conditioning_mode == "concat":
                 cond = jnp.concatenate(
-                    [cond, down(normals_dev).astype(cond.dtype)], axis=-1)
+                    [cond, rep(down(normals_dev)).astype(cond.dtype)], axis=-1)
             else:
-                nlat = enc(self.vae_params, normals_dev, rng_nrm)
+                nlat = enc(self.vae_params, normals_dev, rng_nrm, reps)
                 cond = jnp.concatenate([cond, nlat.astype(cond.dtype)], axis=-1)
         elif self.normals_conditioning_mode == "ip_adapter":
             # normals = the (1, 3) unit mean-mirror-normal from the dataset's
