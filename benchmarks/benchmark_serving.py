@@ -97,10 +97,11 @@ def run_wave(url, payloads):
     return time.time() - t0, lat
 
 
-def bench_mode(pipe, max_batch, steps, n_requests):
+def bench_mode(pipe, max_batch, steps, n_requests, window=0.0):
     if max_batch > 1:
         server = BatchingPipelineServer(pipe, default_steps=steps,
-                                        max_batch=max_batch)
+                                        max_batch=max_batch,
+                                        batch_window_s=window)
     else:
         server = PipelineServer(pipe, default_steps=steps)
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
@@ -143,6 +144,10 @@ def main():
     ap.add_argument("--max_batch", type=str, default="1,4",
                     help="comma-separated micro-batch limits to compare")
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--window", type=float, default=0.0,
+                    help="batch window (s): hold partial batches for more "
+                         "arrivals — raises occupancy when request parsing "
+                         "trickles arrivals (GIL-bound PNG decode)")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__),
                                                   "results.csv"))
     args = ap.parse_args()
@@ -155,7 +160,7 @@ def main():
 
     rows = []
     for mb in [int(x) for x in args.max_batch.split(",")]:
-        r = bench_mode(pipe, mb, args.steps, args.requests)
+        r = bench_mode(pipe, mb, args.steps, args.requests, args.window)
         rows.append((mb, r))
         print(f"max_batch={mb}: {r['images_per_s']:.3f} images/s "
               f"(wall {r['wall_s']:.1f}s / {args.requests} requests, "
@@ -164,12 +169,14 @@ def main():
 
     with open(args.out, "a") as f:
         for mb, r in rows:
+            wtag = f"_w{args.window:g}" if args.window else ""
             f.write(
-                f"serving_512_mb{mb}{tag},512,{mb},bf16,"
+                f"serving_512_mb{mb}{wtag}{tag},512,{mb},bf16,"
                 f"{round(args.steps * r['images_per_s'], 2)},"
                 f"{round(r['images_per_s'], 3)},"
                 f"HTTP serving {args.requests} concurrent requests"
-                f"{' W8A8 int8' if args.int8 else ''}: "
+                f"{' W8A8 int8' if args.int8 else ''}"
+                f"{f' batch window {args.window:g}s' if args.window else ''}: "
                 f"p50 {round(r['p50_s'], 2)}s p99 {round(r['p99_s'], 2)}s "
                 f"mean batch {r['mean_batch']}\n"
             )

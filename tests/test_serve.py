@@ -261,6 +261,35 @@ class TestBatchingServer:
         assert batch == [a1, a2]
         assert srv._queue.get_nowait() is other
 
+    def test_batch_window_accumulates(self, tiny_pipe):
+        """batch_window_s holds a partial batch for late-arriving compatible
+        requests: two requests 0.5 s apart land in ONE batched call instead
+        of two solo calls."""
+        import time
+
+        from reflecting_reality_tpu.cli.serve import BatchingPipelineServer
+
+        srv = BatchingPipelineServer(tiny_pipe, default_steps=2, max_batch=4,
+                                     batch_window_s=10.0)
+        try:
+            results = {}
+
+            def go(k, delay):
+                time.sleep(delay)
+                results[k] = srv.generate(_distinct_payload(k))
+
+            threads = [threading.Thread(target=go, args=(0, 0.0)),
+                       threading.Thread(target=go, args=(1, 0.5))]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            assert results[0]["batch_size"] == 2
+            assert results[1]["batch_size"] == 2
+            assert srv.stats()["batches"] == 1
+        finally:
+            srv.close()
+
     def test_concurrent_http_roundtrip(self, tiny_pipe):
         """Live worker + ThreadingHTTPServer: concurrent posts all succeed,
         bytes match the solo server, healthz reports batch stats."""
