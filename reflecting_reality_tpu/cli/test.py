@@ -332,6 +332,13 @@ def main(argv=None):
 
     enable_compilation_cache(args.compilation_cache_dir)
 
+    from reflecting_reality_tpu.ops.attention import set_attention_backend
+
+    # flash by default — 2.7x at the 4096-token self-attention, mandatory
+    # at 1024² (16384 tokens OOMs the einsum path); short/wide shapes still
+    # route to XLA inside dot_product_attention
+    set_attention_backend(args.attention_backend)
+
     test_df = pd.read_csv(os.path.join(args.train_data_dir, args.csv))
     if args.infer_list:
         with open(args.infer_list) as f:
@@ -408,6 +415,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compilation_cache_dir", type=str, default=None,
                    help="persistent XLA compilation cache (kills the ~190s "
                         "cold compile of the 1024 pipeline on reruns)")
+    p.add_argument("--attention_backend", type=str, default="flash",
+                   choices=["flash", "xla"],
+                   help="attention kernel: 'flash' (Pallas, 2.7x at 4096 "
+                        "tokens, mandatory at 1024²) or 'xla' (einsum)")
     p.add_argument("--num_samples", type=int, default=None)
     p.add_argument("--train_data_dir", type=str, default="data/blenderproc")
     p.add_argument("--output_dir", type=str, default=None)

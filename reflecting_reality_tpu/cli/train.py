@@ -168,6 +168,17 @@ def main(argv=None):
 
     enable_compilation_cache(args.compilation_cache_dir)
 
+    from reflecting_reality_tpu.ops.attention import set_attention_backend
+
+    # Flash by default: the Pallas kernel is 2.7x XLA at the 4096-token
+    # self-attention this model trains on (and the backend switch still
+    # routes short/wide shapes to XLA, ops/attention.py crossover table).
+    # Round-5 postmortem: the CLIs never set this while every benchmark
+    # did — the cached-E2E train ran einsum attention at 2.56 steps/s vs
+    # the 3.68 anchor (benchmarks/analyze_train_trace.py caught the
+    # HBM-bound 4096² logits fusions).
+    set_attention_backend(args.attention_backend)
+
     import jax
     import jax.numpy as jnp
     import pandas as pd
@@ -424,6 +435,15 @@ def main(argv=None):
             f"({global_batch} = {args.train_batch_size} x {n_dev} devices)"
         )
     K = max(1, args.steps_per_dispatch)
+    # Serialized dispatch: complete each K-step dispatch before submitting
+    # the next.  Overlapped dispatch was measured FREE on this backend
+    # (benchmarks/exp_train_gap.py dispatch_deferred == dispatch_seq ==
+    # 3.68 steps/s), so "auto" keeps the overlap; the knob remains as a
+    # diagnostic for transports where queued executions might interact
+    # (it was how the round-5 einsum-attention regression was bisected).
+    serialize = args.serialize_dispatch == "on"
+    if serialize:
+        logger.info("Serialized dispatch enabled (K=%d)", K)
     for name, cadence in (("checkpointing_steps", args.checkpointing_steps),
                           ("validation_steps", args.validation_steps),
                           ("log_every", args.log_every)):
@@ -504,12 +524,23 @@ def main(argv=None):
     # submit / metric-drain / events) to attribute loop overhead on remote
     # transports; off by default (one wall-clock read per phase otherwise).
     loop_timing = bool(os.environ.get("RR_LOOP_TIMING"))
+    # RR_TRACE_DISPATCH_STEP=N (+ RR_TRACE_DIR): capture a jax.profiler
+    # device trace of the single dispatch containing step N (submit ->
+    # completion barrier), to attribute dispatch time on remote transports.
+    trace_step = int(os.environ.get("RR_TRACE_DISPATCH_STEP", "0"))
+    trace_dir = os.environ.get("RR_TRACE_DIR", "/tmp/rr_train_trace")
     t_loop = time.time()
     while step < args.max_train_steps:
         for batch in prefetch_to_device(epochs(), mesh, group=K,
                                         transport_dtype=transport_dtype,
                                         transport_exempt=transport_exempt):
             t_batch = time.time()
+            tracing = trace_step and step < trace_step <= step + K
+            if tracing:
+                logger.info("Tracing dispatch at step %d -> %s", step,
+                            trace_dir)
+                _trace_cm = jax.profiler.trace(trace_dir)
+                _trace_cm.__enter__()
             if step == first_step:
                 logger.info("Compiling train step (first dispatch) ...")
             if K == 1:
@@ -529,6 +560,16 @@ def main(argv=None):
             prev, step = step, step + done
             window = range(prev + 1, step + 1)
             t_submit = time.time()
+            if serialize or tracing:
+                # barrier: fetch the scalar step so this dispatch fully
+                # completes before the next one is enqueued (see the
+                # serialize_dispatch comment above; block_until_ready
+                # under-waits through the relay, a value fetch does not)
+                np.asarray(state.step)
+            if tracing:
+                _trace_cm.__exit__(None, None, None)
+                logger.info("Trace written to %s", trace_dir)
+            t_barrier = time.time()
 
             # this dispatch is submitted (async); NOW drain the previous
             # one's metrics so the fetch overlaps this dispatch's compute
@@ -541,9 +582,9 @@ def main(argv=None):
                 t_drain = time.time()
                 logger.info(
                     "loop timing step %d: batch_wait=%.2fs submit=%.2fs "
-                    "drain=%.2fs events=%.2fs",
+                    "barrier=%.2fs drain=%.2fs events=%.2fs",
                     step, t_batch - t_loop, t_submit - t_batch,
-                    t_drain - t_submit, 0.0)
+                    t_barrier - t_submit, t_drain - t_barrier, 0.0)
                 t_loop = t_drain
             else:
                 t_loop = time.time()
@@ -778,6 +819,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "land on dispatch boundaries, so effective cadence is "
                         "max(cadence, K). Prefetched super-batches pin ~2*K "
                         "batches of input data in HBM")
+    p.add_argument("--attention_backend", type=str, default="flash",
+                   choices=["flash", "xla"],
+                   help="attention kernel: 'flash' (Pallas, 2.7x at 4096 "
+                        "tokens; short/wide shapes still route to XLA) or "
+                        "'xla' (einsum softmax attention everywhere)")
+    p.add_argument("--serialize_dispatch", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="diagnostic: complete each dispatch before "
+                        "submitting the next (isolates per-dispatch device "
+                        "time in loop timing). Overlapped dispatch is "
+                        "measured free on TPU, so auto == off")
     p.add_argument("--input_transport_dtype", type=str, default="auto",
                    choices=["auto", "fp32", "bf16"],
                    help="host->device dtype for float input batches. 'auto' "

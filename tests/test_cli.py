@@ -574,3 +574,15 @@ def test_device_cache_matches_host_cache(env, tmp_path):
     # K>1 path over the device cache too
     dev_k = run(["--device_cache", "--steps_per_dispatch", "2"], "device_k2")
     np.testing.assert_allclose(dev_k, host, rtol=2e-4)
+
+
+def test_cli_attention_backend_defaults_flash():
+    """Regression (round-5 postmortem): every CLI must default the attention
+    backend to 'flash' — the benchmarks always set it, but the CLIs silently
+    ran einsum attention, costing the cached-E2E train 30% device rate
+    (2.56 vs 3.68 steps/s; caught by benchmarks/analyze_train_trace.py)."""
+    from reflecting_reality_tpu.cli import serve, test, train
+
+    for mod in (train, test, serve):
+        parser = mod.build_parser()
+        assert parser.get_default("attention_backend") == "flash", mod.__name__
